@@ -1,0 +1,58 @@
+"""Point-to-voxel binning: the VoxelGridWeighted / VoxelGridCounted analogue.
+
+The reference downsamples each scan to one point per occupied voxel carrying
+the point count as a weight, via sort + run-length segmentation on CPU
+(src/voxel_grid_weighted.cpp:119-190).  Because our bins ARE the global map
+lattice, the whole op collapses to a histogram: a scatter-add of ones into the
+dense count grid.  The grid-alignment machinery of the reference
+(setVoxelAlign, voxel_grid_weighted.cpp:80-106) vanishes by construction.
+
+VoxelGridCounted (src/voxel_grid_counted.cpp:176-195) is the same histogram
+with a second thresholded-value channel; it is only needed by the separated-
+background maintenance, which in the TPU design works directly on dense masks
+(see pipeline/sepclusters.py), so only the generic helper lives here.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from vofod_tpu.geometry import GridSpec
+
+Array = jnp.ndarray
+
+
+def bin_points(
+    grid: GridSpec, pts: Array, valid: Array, weights: Array | None = None
+) -> Array:
+    """Histogram points into the voxel grid.
+
+    Args:
+      grid: grid geometry.
+      pts: [N, 3] world-frame points.
+      valid: [N] bool — invalid points are dropped (the fixed-shape
+        replacement of the reference's CropBox compaction,
+        vofod_nodelet.cpp:626-655).
+      weights: optional [N] per-point weights (default 1).
+
+    Returns:
+      counts: int32 (nz, ny, nx) — number of (weighted) points per voxel.
+      The weighted-downsample "cloud" of the reference is exactly
+      {voxel centers of counts>0, weight=counts}.
+    """
+    ix, iy, iz = grid.coord_to_idx(pts)
+    inb = grid.in_limits_idx(ix, iy, iz) & valid
+    fid = grid.flat_id(
+        jnp.clip(ix, 0, grid.nx - 1),
+        jnp.clip(iy, 0, grid.ny - 1),
+        jnp.clip(iz, 0, grid.nz - 1),
+    )
+    if weights is None:
+        w = inb.astype(jnp.int32)
+    else:
+        w = jnp.where(inb, weights, 0).astype(jnp.int32)
+    # single flat scatter-add; ~1 ms for 131k points on v5e
+    counts = jnp.zeros((grid.n_voxels,), jnp.int32).at[fid].add(
+        w, mode="drop", indices_are_sorted=False
+    )
+    return counts.reshape(grid.shape)

@@ -1,0 +1,96 @@
+"""Euclidean-tolerance connected components and reachability on voxel masks.
+
+TPU-native replacement for PCL EuclideanClusterExtraction (ref
+vofod_nodelet.cpp:689-698) and the close/far cluster split (ref
+findCloseFarClusters :701-751).
+
+Semantics: two occupied voxels are adjacent iff the Euclidean distance of
+their integer indices is <= ``radius`` (for voxel-center points this is
+exactly the ECE tolerance ``radius * voxel_size``).  Components are maximal
+sets under this adjacency.
+
+* :func:`propagate_reach` computes, for every occupied voxel, whether its
+  component contains a seed voxel.  Run to convergence this is *exactly*
+  "cluster contains a point with a background voxel within
+  ground_points_max_distance" — the reference's is_close flag — because
+  closeness is a component-wide property.  Iteration count is data-dependent
+  (lax.while_loop) but small in steady state: once the map is warm, nearly
+  every ground voxel is itself seed-adjacent, so the fixpoint is reached in a
+  couple of sweeps.
+
+* :func:`label_components` labels each component with the minimum flat voxel
+  id of its members.  It is used only on the *far* (non-background) voxels,
+  whose components are physically small (a flying object is <= max_size), so
+  plain propagation converges in a few sweeps; the while_loop carries a
+  convergence flag surfaced in the step diagnostics.
+
+Pointer-jumping is deliberately NOT used: it needs full-grid gathers, which
+measure ~19 ms on v5e — far slower than a handful of extra stencil sweeps.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from vofod_tpu.ops.morphology import ball_pool_max, ball_pool_min
+
+Array = jnp.ndarray
+
+# sentinel label for non-occupied voxels (any value > all flat ids)
+SENTINEL = jnp.int32(2**31 - 1)
+
+
+def propagate_reach(
+    occupied: Array, seed: Array, radius: float, max_iters: int
+) -> tuple[Array, Array]:
+    """Grow ``seed & occupied`` through ``occupied`` under ball adjacency.
+
+    Returns (reached, converged): ``reached`` is the set of occupied voxels
+    whose component contains a seed; ``converged`` is False iff the iteration
+    cap was hit before the fixpoint (diagnostic).
+    """
+    occ = occupied.astype(jnp.bool_)
+    cur = occ & seed.astype(jnp.bool_)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        cur, _, it = state
+        grown = occ & (ball_pool_max(cur.astype(jnp.uint8), radius, fill=0) > 0)
+        new = cur | grown
+        return new, jnp.any(new != cur), it + 1
+
+    # one unconditional sweep so `changed` starts meaningfully
+    state = (cur, jnp.bool_(True), jnp.int32(0))
+    cur, changed, _ = jax.lax.while_loop(cond, body, state)
+    return cur, ~changed
+
+
+def label_components(
+    occupied: Array, radius: float, max_iters: int
+) -> tuple[Array, Array]:
+    """Label components of ``occupied`` with the min member flat id.
+
+    Returns (labels int32 grid with SENTINEL on empty voxels, converged flag).
+    """
+    occ = occupied.astype(jnp.bool_)
+    nz, ny, nx = occ.shape
+    flat = jnp.arange(nz * ny * nx, dtype=jnp.int32).reshape(occ.shape)
+    labels = jnp.where(occ, flat, SENTINEL)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        labels, _, it = state
+        pooled = ball_pool_min(labels, radius)
+        new = jnp.where(occ, jnp.minimum(labels, pooled), SENTINEL)
+        return new, jnp.any(new != labels), it + 1
+
+    state = (labels, jnp.bool_(True), jnp.int32(0))
+    labels, changed, _ = jax.lax.while_loop(cond, body, state)
+    return labels, ~changed

@@ -1,0 +1,296 @@
+"""Freespace raycast: per-voxel accumulated ray-intersection length.
+
+The reference spawns a thread per scan that walks every one of ~131k rays
+through the grid with Amanatides–Woo DDA, accumulating the chord length each
+ray spends in each voxel (ref src/vofod_nodelet.cpp:1396-1606 raycast_cloud,
+src/voxel_map.cpp:229-263 forEachRay).  The result feeds an EMA update that
+pulls ray-swept voxels toward the "ray" (empty) score.
+
+Two TPU implementations:
+
+* :func:`raycast_dda` — exact vectorized DDA (lax.scan over ray steps +
+  one scatter-add).  Bit-faithful to the reference traversal; used as the
+  correctness oracle and as an opt-in "exact" mode.  The 9.4M-element
+  scatter-add serializes on TPU (~63 ms measured on v5e), so it is not the
+  production path.
+
+* :func:`raycast_sweep` — the TPU-native redesign: a gather/scatter-free
+  plane-sweep transmittance propagation.  Rays are straight lines from one
+  origin, so per-voxel transmittance T (fraction of rays from the sensor that
+  reach the voxel unobstructed) obeys a recurrence along any axis-aligned
+  sweep away from the sensor: T(v) = T(parent(v)) * (1 - opacity(parent)),
+  where parent is the point one plane closer to the sensor along the ray —
+  a *separable bilinear* sample of the previous plane (the sample coordinate
+  in each lateral axis depends only on that axis).  Six axis cones (+x, -x,
+  +y, -y, +z, -z) cover all directions; each is one lax.scan of cheap
+  [plane]-sized stencil steps.  The accumulated chord length is then the
+  continuum identity  sum_of_chords(v) = ray_density(v) * voxel_volume / d²,
+  with ray density per steradian taken from the sensor's angular resolution,
+  times T(v) — all elementwise.  No gathers, no scatters: ~1-3 ms/scan.
+
+  Deviations from per-ray DDA (documented, all second-order for the EMA):
+  ray-count quantization near the footprint limit, clearing up to the
+  surface voxel instead of range - voxel_size before it, and per-pixel
+  intensity/mask gates approximated by the binary opacity grid.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from vofod_tpu.geometry import GridSpec
+
+Array = jnp.ndarray
+
+
+# =============================================================================
+# Exact DDA (oracle / compat mode)
+# =============================================================================
+
+
+def raycast_dda(
+    grid: GridSpec,
+    starts: Array,
+    dirs: Array,
+    lengths: Array,
+    valid: Array,
+    max_length: float,
+) -> Array:
+    """Exact Amanatides–Woo accumulation (ref voxel_map.cpp:229-263).
+
+    Args:
+      starts: [R, 3] world ray starts (must lie inside the grid; the caller
+        gates like the reference does at vofod_nodelet.cpp:1481-1483).
+      dirs: [R, 3] unit directions.
+      lengths: [R] traversal lengths (callers pass
+        ``range==0 ? max_dist : min(range - voxel, max_dist)``,
+        ref vofod_nodelet.cpp:1455-1457).
+      valid: [R] ray gate (intensity/mask, ref :1449-1450).
+      max_length: static bound used to size the step loop.
+
+    Returns: float32 (nz, ny, nx) accumulated intersection lengths.
+    """
+    vs = grid.voxel_size
+    n_steps = int(math.ceil(max_length / vs * math.sqrt(3.0))) + 3
+
+    absdir = jnp.abs(dirs)
+    step = jnp.sign(dirs).astype(jnp.int32)  # [R, 3]
+    tdelta = jnp.where(absdir > 0, vs / absdir, jnp.inf)
+
+    ix, iy, iz = grid.coord_to_idx(starts)
+    cur = jnp.stack([ix, iy, iz], axis=-1)  # [R, 3] (x, y, z) order
+    ctr = grid.idx_to_coord(ix, iy, iz) - starts
+    tmax = jnp.where(
+        absdir > 0, (vs / 2.0 + step.astype(starts.dtype) * ctr) / absdir, jnp.inf
+    )
+    last = jnp.where(
+        step > 0,
+        jnp.array([grid.nx - 1, grid.ny - 1, grid.nz - 1], jnp.int32),
+        0,
+    )
+
+    def body(carry, _):
+        cur, tmax, prev, alive = carry
+        dist = jnp.min(tmax, axis=-1)  # [R]
+        axis = jnp.argmin(tmax, axis=-1)  # [R]
+        ddist = jnp.maximum(jnp.minimum(dist, lengths) - prev, 0.0)
+        emit_w = jnp.where(alive & valid, ddist, 0.0)
+        fid = grid.flat_id(cur[:, 0], cur[:, 1], cur[:, 2])
+        onehot = jax.nn.one_hot(axis, 3, dtype=jnp.int32)
+        at_edge = jnp.sum(onehot * (cur == last), axis=-1) > 0
+        alive = alive & (dist < lengths) & ~at_edge
+        cur = cur + onehot * step
+        tmax = tmax + onehot.astype(tmax.dtype) * tdelta
+        return (cur, tmax, dist, alive), (fid, emit_w)
+
+    alive0 = valid & (lengths > 0)
+    (_, _, _, _), (fids, ws) = lax.scan(
+        body, (cur, tmax, jnp.zeros_like(lengths), alive0), None, length=n_steps
+    )
+    flat = jnp.zeros((grid.n_voxels,), jnp.float32).at[fids.reshape(-1)].add(
+        ws.reshape(-1), mode="drop"
+    )
+    return flat.reshape(grid.shape)
+
+
+# =============================================================================
+# Plane-sweep transmittance raycast (production mode)
+# =============================================================================
+
+
+def _sweep_one_axis(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Array:
+    """Transmittance sweep along the leading axis (away from the sensor).
+
+    Args:
+      opaq_sc: [nS, nA, nB] opacity (1 = blocked) with the sweep axis leading
+        and oriented so the sensor sits before plane 0.
+      rel_s: [nS] voxel-center offsets from the sensor along the sweep axis
+        (monotonically increasing; positive past the sensor).
+      rel_a: [nA], rel_b: [nB] lateral voxel-center offsets from the sensor.
+
+    Returns: [nS, nA, nB] transmittance T arriving at each voxel (valid only
+      inside this axis' cone — the caller masks).
+    """
+    nA, nB = opaq_sc.shape[1], opaq_sc.shape[2]
+
+    def shifted(p, d, axis):
+        """out[..i..] = p[..i+d..] along `axis`, 1.0 outside."""
+        n = p.shape[axis]
+        if d == 0:
+            return p
+        if d > 0:
+            sl = lax.slice_in_dim(p, d, n, axis=axis)
+            fill = jnp.ones_like(lax.slice_in_dim(p, 0, d, axis=axis))
+            return jnp.concatenate([sl, fill], axis=axis)
+        sl = lax.slice_in_dim(p, 0, n + d, axis=axis)
+        fill = jnp.ones_like(lax.slice_in_dim(p, 0, -d, axis=axis))
+        return jnp.concatenate([fill, sl], axis=axis)
+
+    def step(carry, inp):
+        opaq_plane, rs = inp  # [nA, nB], scalar
+        rs_safe = jnp.where(jnp.abs(rs) < 0.5, 0.5, rs)
+        # parent sample coordinate per lateral axis (separable)
+        fa = -rel_a / rs_safe  # offset from own index a: parent at a + fa
+        fb = -rel_b / rs_safe
+        fa = jnp.clip(fa, -1.0, 1.0)
+        fb = jnp.clip(fb, -1.0, 1.0)
+
+        # lateral interpolation along B: tmp[a,b] = sum_j wB[b,j] carry[a,b+j]
+        def lerp_axis(p, f, axis):
+            lo = jnp.floor(f)
+            frac = f - lo
+            lo = lo.astype(jnp.int32)  # in {-1, 0, 1}
+            shape = [1, 1]
+            shape[axis] = -1
+            w_m1 = (jnp.where(lo == -1, 1.0 - frac, 0.0)).reshape(shape)
+            w_0 = (
+                jnp.where(lo == -1, frac, 0.0) + jnp.where(lo == 0, 1.0 - frac, 0.0)
+            ).reshape(shape)
+            w_p1 = jnp.where(lo == 0, frac, 0.0).reshape(shape)
+            w_p2 = jnp.where(lo == 1, frac, 0.0).reshape(shape)
+            w_p1 = w_p1 + jnp.where(lo == 1, 1.0 - frac, 0.0).reshape(shape)
+            return (
+                w_m1 * shifted(p, -1, axis)
+                + w_0 * p
+                + w_p1 * shifted(p, 1, axis)
+                + w_p2 * shifted(p, 2, axis)
+            )
+
+        t_in = lerp_axis(lerp_axis(carry, fb, 1), fa, 0)
+        # seed: the first plane at/after the sensor starts fully lit
+        t_in = jnp.where(rs <= 1.0, 1.0, t_in)
+        carry_new = t_in * (1.0 - opaq_plane)
+        return carry_new, t_in
+
+    init = jnp.ones((nA, nB), jnp.float32)
+    _, t = lax.scan(step, init, (opaq_sc.astype(jnp.float32), rel_s))
+    return t
+
+
+def raycast_sweep(
+    grid: GridSpec,
+    opaque: Array,
+    origin_world: Array,
+    rot_s2w: Array,
+    *,
+    max_distance: Array,
+    vertical_fov: float,
+    v_rays: int,
+    h_rays: int,
+) -> Array:
+    """Gather-free accumulated-ray-length field (see module docstring).
+
+    Args:
+      opaque: (nz, ny, nx) bool — voxels containing scan returns (rays stop
+        here, matching DDA truncation at the measured range).
+      origin_world: [3] sensor origin (world frame).
+      rot_s2w: [3, 3] sensor-to-world rotation (world rays = R @ lut dirs,
+        ref vofod_nodelet.cpp:1452).
+      max_distance: traced scalar — raycast/max_distance (20 m default).
+      vertical_fov, v_rays, h_rays: static sensor angular geometry used for
+        the per-steradian ray density (ideal spherical model,
+        ref initialize_sensor_lut_simulation :374-420).
+
+    Returns: float32 (nz, ny, nx) raylen field (≈ sum of ray chord lengths).
+    """
+    nz, ny, nx = grid.shape
+    vs = grid.voxel_size
+    ox, oy, oz = grid.origin
+    gx = (origin_world[0] - ox) / vs  # sensor position in voxel units
+    gy = (origin_world[1] - oy) / vs
+    gz = (origin_world[2] - oz) / vs
+
+    rel_x = jnp.arange(nx, dtype=jnp.float32) + 0.5 - gx  # [nx]
+    rel_y = jnp.arange(ny, dtype=jnp.float32) + 0.5 - gy
+    rel_z = jnp.arange(nz, dtype=jnp.float32) + 0.5 - gz
+
+    op = opaque.astype(jnp.float32)
+
+    # --- six cone sweeps ----------------------------------------------------
+    # grid layout is (z, y, x); move the sweep axis to the front each time
+    def sweep_pair(op_moved, rs, ra, rb):
+        t_fwd = _sweep_one_axis(op_moved, rs, ra, rb)
+        t_bwd = _sweep_one_axis(op_moved[::-1], (-rs)[::-1], ra, rb)[::-1]
+        return t_fwd, t_bwd
+
+    op_x = jnp.moveaxis(op, 2, 0)  # [nx, nz, ny]
+    tx_f, tx_b = sweep_pair(op_x, rel_x, rel_z, rel_y)
+    tx_f = jnp.moveaxis(tx_f, 0, 2)
+    tx_b = jnp.moveaxis(tx_b, 0, 2)
+
+    op_y = jnp.moveaxis(op, 1, 0)  # [ny, nz, nx]
+    ty_f, ty_b = sweep_pair(op_y, rel_y, rel_z, rel_x)
+    ty_f = jnp.moveaxis(ty_f, 0, 1)
+    ty_b = jnp.moveaxis(ty_b, 0, 1)
+
+    tz_f, tz_b = sweep_pair(op, rel_z, rel_y, rel_x)  # z already leading
+
+    # --- cone partition (priority x > y > z on ties) --------------------------
+    ax = jnp.abs(rel_x)[None, None, :]
+    ay = jnp.abs(rel_y)[None, :, None]
+    az = jnp.abs(rel_z)[:, None, None]
+    in_x = (ax >= ay) & (ax >= az)
+    in_y = (~in_x) & (ay >= az)
+    in_z = ~(in_x | in_y)
+    pos_x = rel_x[None, None, :] > 0
+    pos_y = rel_y[None, :, None] > 0
+    pos_z = rel_z[:, None, None] > 0
+
+    T = (
+        jnp.where(in_x & pos_x, tx_f, 0.0)
+        + jnp.where(in_x & ~pos_x, tx_b, 0.0)
+        + jnp.where(in_y & pos_y, ty_f, 0.0)
+        + jnp.where(in_y & ~pos_y, ty_b, 0.0)
+        + jnp.where(in_z & pos_z, tz_f, 0.0)
+        + jnp.where(in_z & ~pos_z, tz_b, 0.0)
+    )
+
+    # --- chord-length density (continuum identity) ----------------------------
+    rx = rel_x[None, None, :] * vs
+    ry = rel_y[None, :, None] * vs
+    rz = rel_z[:, None, None] * vs
+    d2 = rx * rx + ry * ry + rz * rz
+    d = jnp.sqrt(d2)
+    d_safe = jnp.maximum(d, vs)
+
+    # elevation in the SENSOR frame: s = R^T (c - o)
+    Rt = rot_s2w.T
+    sz = Rt[2, 0] * rx + Rt[2, 1] * ry + Rt[2, 2] * rz
+    sin_el = jnp.clip(sz / d_safe, -1.0, 1.0)
+    el = jnp.arcsin(sin_el)
+    cos_el = jnp.maximum(jnp.cos(el), 0.05)
+
+    d_az = 2.0 * math.pi / max(h_rays - 1, 1)
+    d_el = vertical_fov / max(v_rays - 1, 1)
+    density = 1.0 / (d_az * d_el * cos_el)  # rays per steradian
+
+    fov = jnp.abs(el) <= (vertical_fov / 2.0 + d_el)
+    in_range = d <= max_distance
+
+    raylen = T * density * (vs**3) / jnp.maximum(d2, vs * vs)
+    return jnp.where(fov & in_range, raylen, 0.0).astype(jnp.float32)

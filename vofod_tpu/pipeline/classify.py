@@ -1,0 +1,186 @@
+"""Far-cluster classification: gates, OBB, floatingness, demotion.
+
+Reference: classifyClusters / classify_cluster (vofod_nodelet.cpp:818-831,
+1647-1731).  Far components are labeled densely, their member voxels are
+compacted to a small fixed-capacity list (ops/compaction.py), and every
+per-cluster quantity (counts, AABB, PCA OBB replacing PCL MomentOfInertia,
+gates, floating check) is computed on that list — no full-grid pass per
+cluster.
+
+Cluster classes mirror the reference enum (cluster_class_t, :85-119):
+invalid = failed a gate; mav = floating; unknown = grounded/undecidable.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vofod_tpu.config import DynParams, VoFODConfig
+from vofod_tpu.geometry import GridSpec
+from vofod_tpu.ops.compaction import masked_compact
+from vofod_tpu.ops.components import SENTINEL, label_components
+from vofod_tpu.ops.explore import apply_demotions, explore_to_ground
+
+Array = jnp.ndarray
+
+CLS_INVALID = 0
+CLS_MAV = 1
+CLS_UNKNOWN = 2
+
+
+class ClassifyOut(NamedTuple):
+    grid: Array  # confidence grid after frontier demotions
+    cluster_valid: Array  # bool [K] — slot holds a real far cluster
+    cluster_class: Array  # int32 [K]
+    n_points: Array  # int32 [K] (weighted-cloud points == member voxels)
+    aabb_min: Array  # f32 [K, 3]
+    aabb_max: Array  # f32 [K, 3]
+    obb_center: Array  # f32 [K, 3]
+    obb_axes: Array  # f32 [K, 3, 3] (rows = principal axes)
+    obb_extent: Array  # f32 [K, 3] (half extents)
+    obb_size: Array  # f32 [K] — OBB diagonal (ref :1688)
+    reps: Array  # int32 [K] — component labels (flat voxel ids)
+    labels: Array  # int32 dense component-label grid (detect needs members)
+    n_far: Array
+    far_overflow: Array
+    labels_converged: Array
+
+
+def classify(
+    cfg: VoFODConfig,
+    dyn: DynParams,
+    grid: GridSpec,
+    grid_vals: Array,
+    far: Array,
+    sensor_pos: Array,  # [3] world
+    bg_sufficient: Array,
+    sure_bg_sufficient: Array,
+) -> ClassifyOut:
+    K = cfg.max_clusters
+    F = cfg.max_queries
+    radius = cfg.ground_points_max_distance / cfg.voxel_size
+
+    labels, conv = label_components(far, radius, cfg.max_cc_iters)
+
+    fids, fvalid, ftotal = masked_compact(far, F)
+    overflow = ftotal > F
+    fx, fy, fz = grid.unflatten_id(fids)
+    centers = grid.idx_to_coord(fx, fy, fz)  # [F, 3] world
+    flabels = jnp.where(fvalid, labels.reshape(-1)[fids], SENTINEL)
+
+    # --- distinct component labels into K slots (ascending) -----------------
+    def next_rep(prev, _):
+        cand = jnp.where(fvalid & (flabels > prev), flabels, SENTINEL)
+        rep = jnp.min(cand)
+        return rep, rep
+
+    _, reps = jax.lax.scan(next_rep, jnp.int32(-1), None, length=K)
+    slot_valid = reps < SENTINEL  # [K]
+    slot = fvalid[:, None] & (flabels[:, None] == reps[None, :])  # [F, K]
+    slot_f = slot.astype(jnp.float32)
+
+    npts = slot.sum(axis=0).astype(jnp.int32)  # [K]
+    denom = jnp.maximum(npts, 1).astype(jnp.float32)
+
+    # --- AABB over member voxel centers (ref MoI getAABB) --------------------
+    big = jnp.float32(3.0e38)
+    cexp = centers[:, None, :]  # [F, 1, 3]
+    mvalid = slot[:, :, None]
+    aabb_min = jnp.min(jnp.where(mvalid, cexp, big), axis=0)
+    aabb_max = jnp.max(jnp.where(mvalid, cexp, -big), axis=0)
+
+    # --- PCA OBB (replaces PCL MomentOfInertiaEstimation, ref :1655-1673) ----
+    mean = (slot_f.T @ centers) / denom[:, None]  # [K, 3]
+    d = centers[:, None, :] - mean[None, :, :]  # [F, K, 3]
+    dm = jnp.where(mvalid, d, 0.0)
+    cov = jnp.einsum("fki,fkj->kij", dm, dm) / denom[:, None, None]
+    cov = cov + 1e-6 * jnp.eye(3)[None]
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending; evecs columns
+    # major/middle/minor ordering, right-handed (PCL MoI convention)
+    axes = jnp.flip(evecs, axis=-1)  # columns: major, middle, minor
+    major, middle = axes[:, :, 0], axes[:, :, 1]
+    minor = jnp.cross(major, middle)
+    axes = jnp.stack([major, middle, minor], axis=1)  # rows = axes [K, 3, 3]
+    proj = jnp.einsum("fkj,kaj->fka", d, axes)  # [F, K, 3]
+    pmin = jnp.min(jnp.where(mvalid, proj, big), axis=0)
+    pmax = jnp.max(jnp.where(mvalid, proj, -big), axis=0)
+    obb_center = mean + jnp.einsum("kaj,ka->kj", axes, (pmin + pmax) / 2.0)
+    obb_extent = (pmax - pmin) / 2.0
+    obb_size = jnp.linalg.norm(pmax - pmin, axis=-1)  # OBB diagonal
+
+    # --- gates (ref :1679-1690) ----------------------------------------------
+    dist = jnp.linalg.norm(obb_center - sensor_pos[None, :], axis=-1)
+    gated = (
+        slot_valid
+        & (npts.astype(jnp.float32) >= dyn.cls_min_points)
+        & (dist <= dyn.cls_max_distance)
+        & (obb_size <= dyn.cls_max_size)
+    )
+
+    # --- floating check (ref :1692-1718) --------------------------------------
+    explore_on = bg_sufficient & sure_bg_sufficient & ~overflow
+    m_k = jnp.floor(
+        (obb_size + dyn.cls_max_explore_distance) / cfg.voxel_size
+    ).astype(jnp.int32)
+    qgate = gated & explore_on  # [K]
+    qvalid = jnp.any(slot & qgate[None, :], axis=1)  # [F]
+    m_f = (slot.astype(jnp.int32) @ m_k).astype(jnp.int32)  # [F]
+
+    def run_explore(vals):
+        connected, reached, corners = explore_to_ground(
+            grid,
+            vals,
+            fx,
+            fy,
+            fz,
+            qvalid,
+            m_f,
+            dyn.thr_frontiers,
+            dyn.thr_new_obstacles,
+            cfg.explore_submap,
+        )
+        cluster_connected = jnp.any(slot & connected[:, None], axis=0)  # [K]
+        floating = qgate & ~cluster_connected
+        demote = qvalid & jnp.any(slot & floating[None, :], axis=1)
+        new_vals = jax.lax.cond(
+            jnp.any(demote),
+            lambda v: apply_demotions(v, reached, corners, demote, dyn.thr_frontiers),
+            lambda v: v,
+            vals,
+        )
+        return floating, new_vals
+
+    floating, new_vals = jax.lax.cond(
+        jnp.any(qvalid),
+        run_explore,
+        lambda vals: (jnp.zeros((K,), jnp.bool_), vals),
+        grid_vals,
+    )
+
+    cls = jnp.where(
+        gated,
+        jnp.where(floating, CLS_MAV, CLS_UNKNOWN),
+        CLS_INVALID,
+    ).astype(jnp.int32)
+    cls = jnp.where(slot_valid, cls, CLS_INVALID)
+
+    return ClassifyOut(
+        grid=new_vals,
+        cluster_valid=slot_valid,
+        cluster_class=cls,
+        n_points=npts,
+        aabb_min=aabb_min,
+        aabb_max=aabb_max,
+        obb_center=obb_center,
+        obb_axes=axes,
+        obb_extent=obb_extent,
+        obb_size=obb_size,
+        reps=reps,
+        labels=labels,
+        n_far=ftotal,
+        far_overflow=overflow,
+        labels_converged=conv,
+    )

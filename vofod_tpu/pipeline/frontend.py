@@ -1,0 +1,62 @@
+"""Scan frontend: range image -> world points -> masks -> count grids.
+
+Replaces the reference's filterAndTransform (vofod_nodelet.cpp:619-686):
+CropBox compactions become boolean masks over the fixed H*W lattice (no
+dynamic shapes), the SE(3) transform is one fused matmul, and the
+VoxelGridWeighted downsample is the dense histogram of ops/binning.py.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from vofod_tpu.config import VoFODConfig
+from vofod_tpu.geometry import GridSpec, box_mask, se3_apply
+from vofod_tpu.ops.binning import bin_points
+from vofod_tpu.sensor import RANGE_TO_METERS
+
+Array = jnp.ndarray
+
+
+class FrontendOut(NamedTuple):
+    counts: Array  # int32 (nz, ny, nx) — filtered weighted downsample
+    blockers: Array  # bool (nz, ny, nx) — all returns (raycast opacity),
+    #                  including own-airframe hits that truncate rays
+    #                  (ref raycast uses raw ranges, vofod_nodelet.cpp:1455)
+    n_valid_points: Array  # int32 — points surviving the filters
+
+
+def run_frontend(
+    cfg: VoFODConfig,
+    grid: GridSpec,
+    lut_dirs: Array,  # float32 [N, 3] (device-resident constant)
+    lut_offs: Array,  # float32 [N, 3]
+    ranges_mm: Array,  # [N]
+    pose: Array,  # [4, 4]
+) -> FrontendOut:
+    r = ranges_mm.astype(jnp.float32) * RANGE_TO_METERS
+    has_return = r > 0
+    pts_sensor = lut_dirs * r[:, None] + lut_offs
+
+    # exclude-box: own airframe, sensor frame (ref :626-636; CropBox negative)
+    in_exclude = box_mask(pts_sensor, cfg.exclude_box.lo, cfg.exclude_box.hi)
+
+    pts_world = se3_apply(pose, pts_sensor)
+
+    # operation-area crop, world frame (ref :644-655; CropBox positive)
+    in_oparea = box_mask(pts_world, cfg.oparea.lo, cfg.oparea.hi)
+
+    valid = has_return & ~in_exclude & in_oparea
+    counts = bin_points(grid, pts_world, valid)
+
+    # raycast opacity: any return inside the grid (airframe hits included)
+    blocker_valid = has_return & in_oparea
+    blockers = bin_points(grid, pts_world, blocker_valid) > 0
+
+    return FrontendOut(
+        counts=counts,
+        blockers=blockers,
+        n_valid_points=valid.sum().astype(jnp.int32),
+    )

@@ -1,0 +1,92 @@
+"""Separated-background-cluster maintenance.
+
+Reference: updateSeparatedBGClusters (vofod_nodelet.cpp:1124-1294), a 10 Hz
+thread that (a) clusters the background voxels, (b) declares classification
+active only when some cluster holds >= min_sure_points "sure" voxels, and
+(c) demotes every voxel within max_bg_distance of an *unsure* cluster toward
+the ray score with weight 0.5 per elapsed detection iteration.
+
+TPU formulation (dense, gather/scatter-free):
+
+* cluster membership "has >= N sure voxels" is evaluated as seeded
+  reachability: seeds are sure voxels whose local ball already holds >= N
+  sure voxels (the reference counts over the whole cluster; locally-dense
+  counting is equivalent for real background structure and is the documented
+  deviation here), grown through the background set under the ball-2
+  adjacency that the reference's coarse clustering uses
+  (max_voxel_dist = ceil(max_bg_distance / voxel) = 2 index units, :1141-1143).
+
+* the reachability fixpoint is warm-started from the previous step's result
+  carried in state (`safe`), so the amortized per-step cost is a couple of
+  sweeps; the wavefront advances >= 2 voxels * max_iters per step, far faster
+  than any physical map growth.  (The reference amortizes the same way: its
+  thread just runs at 10 Hz regardless of scan rate.)
+
+* with the default geometry the reference's VoxelGridCounted coarse
+  downsample uses leaf size 1 index unit (:1162-1167) — an identity binning —
+  so it is not reproduced; for other voxel sizes this is a second documented
+  deviation.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from vofod_tpu.config import DynParams, VoFODConfig
+from vofod_tpu.ops.components import propagate_reach
+from vofod_tpu.ops.morphology import ball_pool_max, ball_pool_sum
+
+Array = jnp.ndarray
+
+
+class SepClustersOut(NamedTuple):
+    grid: Array
+    safe: Array  # carried reachability (warm start)
+    sure_bg_sufficient: Array
+    converged: Array
+
+
+def run_sepclusters(
+    cfg: VoFODConfig,
+    dyn: DynParams,
+    grid_vals: Array,
+    prev_safe: Array,
+    its_diff: Array,
+    max_iters: int = 8,
+) -> SepClustersOut:
+    max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
+    adj_radius = math.ceil(max_dist_idx)  # cluster tolerance in index units
+
+    bg = grid_vals > dyn.thr_new_obstacles
+    sure = grid_vals > dyn.thr_sure_obstacles
+
+    # local sure-voxel counts stand in for per-cluster counts (see docstring)
+    local_sure = ball_pool_sum(sure.astype(jnp.int32), float(adj_radius) + 1.0)
+    seeds = sure & (local_sure.astype(jnp.float32) >= dyn.sepclusters_min_sure_points)
+    sure_sufficient = jnp.any(seeds)
+
+    init = (prev_safe & bg) | (seeds & bg)
+    safe, converged = propagate_reach(
+        bg, init, float(adj_radius), max_iters
+    )
+
+    unsafe = bg & ~safe
+    # demotion ball: indices with ||d|| <= max_bg_distance/voxel (ref :1219-1237)
+    demote = ball_pool_max(unsafe.astype(jnp.uint8), max_dist_idx, fill=0) > 0
+
+    w1 = jnp.clip(jnp.power(0.5, its_diff), 0.0, 1.0)  # ref :1242-1244
+    # no demotion at all when no sure cluster exists (ref returns early :1197-1206)
+    new_vals = jnp.where(
+        demote & sure_sufficient,
+        w1 * grid_vals + (1.0 - w1) * dyn.score_ray,
+        grid_vals,
+    )
+    return SepClustersOut(
+        grid=new_vals,
+        safe=safe,
+        sure_bg_sufficient=sure_sufficient,
+        converged=converged,
+    )

@@ -1,0 +1,219 @@
+"""The end-to-end jitted step: scan -> (new state, detections, diagnostics).
+
+Deterministic schedule replacing the reference's thread interleaving
+(SURVEY.md §7 design stance; ref vofod_nodelet.cpp:882-1096 + the raycast and
+sepclusters threads):
+
+  1. frontend: filter + transform + voxel binning      (ref :928)
+  2. background sufficiency + close/far split           (ref :932-936)
+  3. point EMA update of the confidence grid            (ref :946-948)
+  4. classification + floating check + demotions        (ref :961)
+  5. detection extraction                               (ref :963)
+  6. freespace raycast + flag-guarded ray EMA update    (ref raycast_cloud)
+  7. every sepclusters_every steps: background maint.   (ref bgclusters_loop)
+
+The raycast is applied with detection_its_diff = raycast_every and only to
+voxels without a point this scan — exactly the invariant the reference's
+mutex + flags machinery enforces (flags ``unmarked``, ref :1557-1601).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vofod_tpu.config import DynParams, VoFODConfig
+from vofod_tpu.geometry import GridSpec
+from vofod_tpu.ops.raycast import raycast_dda, raycast_sweep
+from vofod_tpu.pipeline.background import split_and_update
+from vofod_tpu.pipeline.classify import classify
+from vofod_tpu.pipeline.detect import extract_detections
+from vofod_tpu.pipeline.frontend import run_frontend
+from vofod_tpu.pipeline.sepclusters import run_sepclusters
+from vofod_tpu.pipeline.state import (
+    Detections,
+    ScanInput,
+    StepDiagnostics,
+    VoFODState,
+)
+from vofod_tpu.sensor import RANGE_TO_METERS, XyzLut
+
+Array = jnp.ndarray
+
+
+class StepOutput(NamedTuple):
+    detections: Detections
+    diag: StepDiagnostics
+
+
+def ray_update(
+    cfg: VoFODConfig,
+    dyn: DynParams,
+    grid_vals: Array,
+    raylen: Array,
+    had_point: Array,
+    its_diff: Array,
+) -> Array:
+    """Flag-guarded EMA toward the ray score (both reference update rules,
+    vofod_nodelet.cpp:1550-1601)."""
+    active = (~had_point) & (raylen > 0.0)
+
+    # new rule (ref :1550-1573)
+    voxel_diag = math.sqrt(3.0) * cfg.voxel_size
+    n_int = (dyn.raycast_weight_coefficient / voxel_diag) * raylen
+    w1_new = jnp.exp2(-its_diff * n_int)
+
+    # old rule (ref :1574-1601): normalize by the max cell value
+    max_val = jnp.maximum(jnp.max(raylen), 1e-20)
+    w_single = dyn.raycast_weight_coefficient * jnp.sqrt(raylen / max_val)
+    w1_old = jnp.clip(jnp.power(1.0 - w_single, its_diff), 0.0, 1.0)
+
+    w1 = jnp.where(dyn.raycast_new_update_rule, w1_new, w1_old)
+    updated = w1 * grid_vals + (1.0 - w1) * dyn.score_ray
+    return jnp.where(active, updated, grid_vals)
+
+
+def make_step_fn(
+    cfg: VoFODConfig,
+    lut: XyzLut,
+    *,
+    raycast_mode: str = "sweep",
+    raycast_every: int = 1,
+    donate: bool = True,
+) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
+    """Build the jitted step function.
+
+    raycast_mode: "sweep" (TPU-native transmittance sweep, production),
+      "exact" (per-ray DDA + scatter; bit-faithful, slow on TPU), or
+      "off".
+    raycast_every: apply the freespace update every N steps with
+      its_diff = N (the reference's raycast thread naturally skips scans
+      under load and compensates identically, ref :1540-1548).
+    """
+    grid = GridSpec.from_config(cfg)
+    lut_dirs = jnp.asarray(lut.directions)
+    lut_offs = jnp.asarray(lut.offsets)
+
+    def step(
+        state: VoFODState, scan: ScanInput, dyn: DynParams
+    ) -> tuple[VoFODState, StepOutput]:
+        pose = scan.pose
+        sensor_pos = pose[:3, 3]
+        rot = pose[:3, :3]
+
+        # 1. frontend
+        fe = run_frontend(cfg, grid, lut_dirs, lut_offs, scan.ranges_mm, pose)
+
+        # 2-3. split + point update
+        bg = split_and_update(cfg, dyn, state.grid, fe.counts)
+
+        # 4. classification (+ frontier demotions)
+        cls = classify(
+            cfg,
+            dyn,
+            grid,
+            bg.grid,
+            bg.far,
+            sensor_pos,
+            bg.bg_sufficient,
+            state.sure_bg_sufficient,
+        )
+
+        # 5. detections
+        dets, det_counter = extract_detections(
+            cfg, dyn, grid, cls.grid, cls.labels, bg.far, cls, sensor_pos,
+            state.det_counter,
+        )
+
+        # 6. raycast freespace update
+        vals = cls.grid
+        if raycast_mode != "off":
+            do_ray = (
+                (~dyn.raycast_pause)
+                & grid.in_limits(sensor_pos[None, :])[0]
+                & (jnp.mod(state.step, raycast_every) == raycast_every - 1
+                   if raycast_every > 1 else jnp.bool_(True))
+            )
+
+            def with_ray(vals):
+                if raycast_mode == "exact":
+                    r = scan.ranges_mm.astype(jnp.float32) * RANGE_TO_METERS
+                    dirs_w = lut_dirs @ rot.T
+                    starts = lut_offs @ rot.T + sensor_pos[None, :]
+                    max_d = dyn.raycast_max_distance
+                    lengths = jnp.where(
+                        r == 0.0, max_d, jnp.minimum(r - cfg.voxel_size, max_d)
+                    )
+                    rvalid = (
+                        (scan.intensity >= dyn.raycast_min_intensity)
+                        & grid.in_limits(starts)
+                    )
+                    raylen = raycast_dda(
+                        grid, starts, dirs_w, lengths, rvalid,
+                        max_length=cfg.raycast_max_distance_bound,
+                    )
+                else:
+                    raylen = raycast_sweep(
+                        grid,
+                        fe.blockers,
+                        sensor_pos,
+                        rot,
+                        max_distance=dyn.raycast_max_distance,
+                        vertical_fov=cfg.sensor.vertical_fov,
+                        v_rays=cfg.sensor.vertical_rays,
+                        h_rays=cfg.sensor.horizontal_rays,
+                    )
+                return ray_update(
+                    cfg, dyn, vals, raylen, bg.occupied,
+                    jnp.float32(raycast_every),
+                )
+
+            vals = jax.lax.cond(do_ray, with_ray, lambda v: v, vals)
+
+        # 7. separated-background maintenance
+        run_sep = (
+            (jnp.mod(state.step, cfg.sepclusters_every) == 0)
+            & ~dyn.sepclusters_pause
+        )
+
+        def with_sep(args):
+            vals, safe = args
+            out = run_sepclusters(
+                cfg, dyn, vals, safe, jnp.float32(cfg.sepclusters_every)
+            )
+            return out.grid, out.safe, out.sure_bg_sufficient, out.converged
+
+        def without_sep(args):
+            vals, safe = args
+            return vals, safe, state.sure_bg_sufficient, jnp.bool_(True)
+
+        vals, safe, sure_bg, sep_conv = jax.lax.cond(
+            run_sep, with_sep, without_sep, (vals, state.safe)
+        )
+
+        new_state = VoFODState(
+            grid=vals,
+            safe=safe,
+            det_counter=det_counter,
+            step=state.step + 1,
+            sure_bg_sufficient=sure_bg,
+            bg_sufficient=bg.bg_sufficient,
+        )
+        diag = StepDiagnostics(
+            n_bg_voxels=bg.n_bg_voxels,
+            bg_sufficient=bg.bg_sufficient,
+            sure_bg_sufficient=sure_bg,
+            n_occupied=bg.occupied.sum().astype(jnp.int32),
+            n_far=cls.n_far,
+            far_overflow=cls.far_overflow,
+            cc_converged=bg.cc_converged & cls.labels_converged,
+            sep_converged=sep_conv,
+            n_detections=dets.valid.sum().astype(jnp.int32),
+        )
+        return new_state, StepOutput(detections=dets, diag=diag)
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)

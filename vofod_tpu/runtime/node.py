@@ -1,0 +1,215 @@
+"""VoFOD host node: the thin shim that feeds scans to the jitted pipeline.
+
+Replaces the reference ROS nodelet shell (vofod_nodelet.cpp:141-303 onInit,
+1296-1393 main_loop): owns the device-resident state, runs the step per scan,
+converts fixed-shape device outputs to Detections messages, and provides the
+reset service, rangefinder fusion, apriori-map initialization, NPZ
+checkpointing and profiling events.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vofod_tpu.config import DynParams, VoFODConfig
+from vofod_tpu.geometry import GridSpec
+from vofod_tpu.io.msgs import Detection, Detections, Header, ProfilingInfo, Status
+from vofod_tpu.pipeline.state import ScanInput, VoFODState, init_state
+from vofod_tpu.pipeline.step import make_step_fn
+from vofod_tpu.runtime.profiling import ProfilingStream, ScopeTimer
+from vofod_tpu.sensor import XyzLut, make_lut
+
+
+@dataclass
+class NodeOptions:
+    raycast_mode: str = "sweep"  # "sweep" | "exact" | "off"
+    raycast_every: int = 1
+    world_frame_id: str = "world"
+    throttle_period: float = 1.0
+
+
+class VoFOD:
+    """The detector node.  Thread-free: call :meth:`process_scan` per scan."""
+
+    def __init__(
+        self,
+        cfg: VoFODConfig | None = None,
+        dyn: DynParams | None = None,
+        options: NodeOptions | None = None,
+        lut: XyzLut | None = None,
+    ):
+        self.cfg = cfg or VoFODConfig()
+        self.dyn = dyn or DynParams()
+        self.options = options or NodeOptions()
+        self.grid_spec = GridSpec.from_config(self.cfg)
+        self.lut = lut or make_lut(self.cfg.sensor)
+        self.profiling = ProfilingStream()
+        self._step = make_step_fn(
+            self.cfg,
+            self.lut,
+            raycast_mode=self.options.raycast_mode,
+            raycast_every=self.options.raycast_every,
+        )
+        self._rangefinder_update = jax.jit(self._make_rangefinder_update())
+        self.state: VoFODState = init_state(self.cfg, self.dyn)
+        self._apriori_loaded = False
+        self.last_diag = None
+
+    # ------------------------------------------------------------------ scans
+    def process_scan(
+        self, ranges_mm: np.ndarray, intensity: np.ndarray | None, pose: np.ndarray,
+        stamp: float = 0.0,
+    ) -> Detections:
+        """Run one scan through the pipeline.
+
+        ranges_mm: [H*W] or [H, W] uint32/float (0 = no return).
+        intensity: same shape (None = all ones).
+        pose: [4, 4] world_T_sensor.
+        """
+        n = self.cfg.sensor.n_points
+        r = np.asarray(ranges_mm).reshape(-1)
+        if r.shape[0] != n:
+            raise ValueError(
+                f"unexpected scan size {r.shape[0]}, expected {n} "
+                f"({self.cfg.sensor.vertical_rays}x{self.cfg.sensor.horizontal_rays})"
+            )  # ref size guard, vofod_nodelet.cpp:895-899
+        inten = (
+            np.ones(n, np.float32) if intensity is None
+            else np.asarray(intensity, np.float32).reshape(-1)
+        )
+        scan = ScanInput(
+            ranges_mm=jnp.asarray(r.astype(np.float32)),
+            intensity=jnp.asarray(inten),
+            pose=jnp.asarray(np.asarray(pose, np.float32)),
+        )
+        with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
+            self.state, out = self._step(self.state, scan, self.dyn)
+        self.last_diag = jax.device_get(out.diag)
+        return self._to_msg(out.detections, stamp)
+
+    def _to_msg(self, dets, stamp: float) -> Detections:
+        d = jax.device_get(dets)
+        msg = Detections(header=Header(stamp, self.options.world_frame_id))
+        for k in range(d.valid.shape[0]):
+            if not d.valid[k]:
+                continue
+            msg.detections.append(
+                Detection(
+                    id=int(d.id[k]),
+                    confidence=float(d.confidence[k]),
+                    n_points=int(d.n_points[k]),
+                    position=tuple(float(v) for v in d.position[k]),
+                    covariance=tuple(float(v) for v in d.covariance[k].reshape(-1)),
+                    detection_probability=float(d.detection_probability[k]),
+                )
+            )
+        return msg
+
+    # ------------------------------------------------------------ rangefinder
+    def _make_rangefinder_update(self):
+        grid = self.grid_spec
+
+        def update(state: VoFODState, pt_world, score_point):
+            ix, iy, iz = grid.coord_to_idx(pt_world[None, :])
+            ok = grid.in_limits_idx(ix, iy, iz)[0]
+            fid = grid.flat_id(ix, iy, iz)[0]
+            flat = state.grid.reshape(-1)
+            # mapval = (mapval + point_score) / 2 (ref vofod_nodelet.cpp:608-611)
+            newval = (flat[fid] + score_point) / 2.0
+            flat = jnp.where(ok, flat.at[fid].set(newval), flat)
+            return state._replace(grid=flat.reshape(state.grid.shape))
+
+        return update
+
+    def process_rangefinder(
+        self, rng: float, min_range: float, max_range: float, pose: np.ndarray
+    ) -> bool:
+        """Fuse a downward rangefinder hit (ref processMsg(Range), :579-613).
+
+        The reference's validity check uses && where || was intended (ref
+        :585); the spec-correct check is the default, the quirk is available
+        via cfg.compat_rangefinder_validity.
+        """
+        if self.cfg.compat_rangefinder_validity:
+            invalid = rng <= min_range and rng >= max_range  # ref quirk
+        else:
+            invalid = rng <= min_range or rng >= max_range
+        if invalid:
+            return False
+        pt = np.asarray(pose, np.float32) @ np.array([rng, 0, 0, 1], np.float32)
+        self.state = self._rangefinder_update(
+            self.state, jnp.asarray(pt[:3]), jnp.float32(self.dyn.score_point)
+        )
+        return True
+
+    # ------------------------------------------------------------ apriori map
+    def load_apriori_map(
+        self, points_xyz: np.ndarray, yaw_deg: float = 0.0,
+        translation=(0.0, 0.0, 0.0),
+    ) -> int:
+        """Stamp an apriori static cloud into the map as +inf background
+        (ref initialize_apriori_map, vofod_nodelet.cpp:305-355).
+
+        Returns the number of stamped voxels."""
+        from vofod_tpu.geometry import yaw_rotation
+
+        pts = np.asarray(points_xyz, np.float32)
+        if pts.size == 0:
+            self._apriori_loaded = True
+            return 0
+        R = yaw_rotation(np.deg2rad(yaw_deg))
+        pts = pts @ R.T + np.asarray(translation, np.float32)
+        g = self.grid_spec
+        ox, oy, oz = g.origin
+        idx = np.floor((pts - np.array([ox, oy, oz])) / g.voxel_size).astype(np.int64)
+        ok = (
+            (idx[:, 0] >= 0) & (idx[:, 0] < g.nx)
+            & (idx[:, 1] >= 0) & (idx[:, 1] < g.ny)
+            & (idx[:, 2] >= 0) & (idx[:, 2] < g.nz)
+        )
+        idx = idx[ok]
+        vals = np.asarray(self.state.grid)
+        vals[idx[:, 2], idx[:, 1], idx[:, 0]] = np.inf  # ref stamps +inf (:341)
+        self.state = self.state._replace(grid=jnp.asarray(vals))
+        self._apriori_loaded = True
+        return int(idx.shape[0])
+
+    # ----------------------------------------------------------------- status
+    def status(self) -> Status:
+        d = self.last_diag
+        enabled = bool(d.bg_sufficient and d.sure_bg_sufficient) if d else False
+        return Status(detection_enabled=True, detection_active=enabled)
+
+    def reset(self):
+        """The ~reset service (ref reset_callback :566-572)."""
+        self.state = init_state(self.cfg, self.dyn)
+
+    # ----------------------------------------------------------- checkpointing
+    def save_snapshot(self, path: str):
+        """NPZ snapshot of the full detector state (the reference has no map
+        checkpointing — SURVEY.md §5 gap, closed here)."""
+        s = jax.device_get(self.state)
+        np.savez_compressed(
+            path,
+            grid=s.grid,
+            safe=s.safe,
+            det_counter=s.det_counter,
+            step=s.step,
+            sure_bg_sufficient=s.sure_bg_sufficient,
+            bg_sufficient=s.bg_sufficient,
+        )
+
+    def load_snapshot(self, path: str):
+        z = np.load(path)
+        self.state = VoFODState(
+            grid=jnp.asarray(z["grid"]),
+            safe=jnp.asarray(z["safe"]),
+            det_counter=jnp.asarray(z["det_counter"]),
+            step=jnp.asarray(z["step"]),
+            sure_bg_sufficient=jnp.asarray(z["sure_bg_sufficient"]),
+            bg_sufficient=jnp.asarray(z["bg_sufficient"]),
+        )
