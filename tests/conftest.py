@@ -2,19 +2,29 @@
 
 Tests exercise the same sharded code paths that run on a TPU pod slice; the
 driver separately compile-checks the multi-chip path (see __graft_entry__.py).
+
+Note: the environment may pre-register a tunneled TPU backend via
+sitecustomize; forcing the platform through jax.config (before any backend is
+instantiated) overrides it reliably.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 
 
 @pytest.fixture(scope="session")

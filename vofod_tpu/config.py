@@ -99,8 +99,12 @@ class VoFODConfig:
     # --- static capacities of the fixed-shape TPU pipeline -----------------
     # max far (non-background) clusters tracked per scan
     max_clusters: int = 16
-    # max flood-fill query points per scan (all member voxels of gated far
-    # clusters); overflow is reported in the step diagnostics
+    # max far voxels compacted for per-cluster statistics; beyond this the
+    # scan's classification is skipped (cold-start scans only)
+    max_far_voxels: int = 2048
+    # max flood-fill query points per scan (member voxels of *gated* far
+    # clusters only — small by the max_size gate); overflow clusters are
+    # conservatively classified unknown
     max_queries: int = 256
     # side of the cubic submap used for the bounded exploreToGround BFS;
     # must cover 2*max_explore_voxel_dist+1

@@ -20,6 +20,8 @@ Everything is O(N) dense work plus O(capacity log N) tiny gathers.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -66,7 +68,7 @@ def masked_compact(mask: Array, capacity: int) -> tuple[Array, Array, Array]:
             go_right = bstart[mid] <= qi
             return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)), None
 
-        steps = max(1, int(jnp.ceil(jnp.log2(max(nb, 2)))) + 1)
+        steps = max(1, int(math.ceil(math.log2(max(nb, 2)))) + 1)
         (lo, _), _ = jax.lax.scan(body, (jnp.int32(0), jnp.int32(nb)), None, length=steps)
         return lo
 
@@ -81,7 +83,7 @@ def masked_compact(mask: Array, capacity: int) -> tuple[Array, Array, Array]:
             go_right = run[b, mid] <= r  # want first col with run > r
             return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)), None
 
-        steps = max(1, int(jnp.ceil(jnp.log2(_BLOCK))) + 1)
+        steps = max(1, int(math.ceil(math.log2(_BLOCK))) + 1)
         (lo, _), _ = jax.lax.scan(
             body, (jnp.int32(0), jnp.int32(_BLOCK)), None, length=steps
         )

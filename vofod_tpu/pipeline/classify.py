@@ -2,10 +2,17 @@
 
 Reference: classifyClusters / classify_cluster (vofod_nodelet.cpp:818-831,
 1647-1731).  Far components are labeled densely, their member voxels are
-compacted to a small fixed-capacity list (ops/compaction.py), and every
-per-cluster quantity (counts, AABB, PCA OBB replacing PCL MomentOfInertia,
-gates, floating check) is computed on that list — no full-grid pass per
-cluster.
+compacted to a fixed-capacity list (ops/compaction.py), and every per-cluster
+quantity (counts, AABB, PCA OBB replacing PCL MomentOfInertia, gates) is
+computed on that list — no full-grid pass per cluster.
+
+Two capacity tiers keep worst cases bounded:
+* the *stats* list (max_far_voxels) holds all far voxels; sparse distant
+  ground legitimately produces hundreds (they form large ring-like clusters
+  that fail the max_size gate, exactly as in the reference);
+* the *query* list (max_queries) holds only member voxels of clusters that
+  passed the gates — physically small objects — and feeds the bounded
+  flood-fill + demotion.
 
 Cluster classes mirror the reference enum (cluster_class_t, :85-119):
 invalid = failed a gate; mav = floating; unknown = grounded/undecidable.
@@ -60,7 +67,8 @@ def classify(
     sure_bg_sufficient: Array,
 ) -> ClassifyOut:
     K = cfg.max_clusters
-    F = cfg.max_queries
+    F = cfg.max_far_voxels
+    Q = cfg.max_queries
     radius = cfg.ground_points_max_distance / cfg.voxel_size
 
     labels, conv = label_components(far, radius, cfg.max_cc_iters)
@@ -81,6 +89,8 @@ def classify(
     slot_valid = reps < SENTINEL  # [K]
     slot = fvalid[:, None] & (flabels[:, None] == reps[None, :])  # [F, K]
     slot_f = slot.astype(jnp.float32)
+    # clusters beyond the K cap exist if some valid far voxel matched no slot
+    cluster_overflow = jnp.any(fvalid & ~jnp.any(slot, axis=1))
 
     npts = slot.sum(axis=0).astype(jnp.int32)  # [K]
     denom = jnp.maximum(npts, 1).astype(jnp.float32)
@@ -100,8 +110,8 @@ def classify(
     cov = cov + 1e-6 * jnp.eye(3)[None]
     evals, evecs = jnp.linalg.eigh(cov)  # ascending; evecs columns
     # major/middle/minor ordering, right-handed (PCL MoI convention)
-    axes = jnp.flip(evecs, axis=-1)  # columns: major, middle, minor
-    major, middle = axes[:, :, 0], axes[:, :, 1]
+    axes_cols = jnp.flip(evecs, axis=-1)  # columns: major, middle, minor
+    major, middle = axes_cols[:, :, 0], axes_cols[:, :, 1]
     minor = jnp.cross(major, middle)
     axes = jnp.stack([major, middle, minor], axis=1)  # rows = axes [K, 3, 3]
     proj = jnp.einsum("fkj,kaj->fka", d, axes)  # [F, K, 3]
@@ -126,25 +136,34 @@ def classify(
         (obb_size + dyn.cls_max_explore_distance) / cfg.voxel_size
     ).astype(jnp.int32)
     qgate = gated & explore_on  # [K]
-    qvalid = jnp.any(slot & qgate[None, :], axis=1)  # [F]
-    m_f = (slot.astype(jnp.int32) @ m_k).astype(jnp.int32)  # [F]
+
+    # dense mask of member voxels of gated clusters -> second compaction
+    rep_sel = jnp.where(qgate, reps, jnp.int32(-2))  # -2 matches nothing
+    qmask = far & jnp.isin(labels, rep_sel)
+    qids, qvalid, qtotal = masked_compact(qmask, Q)
+    query_overflow = qtotal > Q
+    qx, qy, qz = grid.unflatten_id(qids)
+    qlabels = jnp.where(qvalid, labels.reshape(-1)[qids], SENTINEL)
+    qslot = qvalid[:, None] & (qlabels[:, None] == reps[None, :])  # [Q, K]
+    m_q = (qslot.astype(jnp.int32) @ m_k).astype(jnp.int32)  # [Q]
 
     def run_explore(vals):
         connected, reached, corners = explore_to_ground(
             grid,
             vals,
-            fx,
-            fy,
-            fz,
+            qx,
+            qy,
+            qz,
             qvalid,
-            m_f,
+            m_q,
             dyn.thr_frontiers,
             dyn.thr_new_obstacles,
             cfg.explore_submap,
         )
-        cluster_connected = jnp.any(slot & connected[:, None], axis=0)  # [K]
-        floating = qgate & ~cluster_connected
-        demote = qvalid & jnp.any(slot & floating[None, :], axis=1)
+        cluster_connected = jnp.any(qslot & connected[:, None], axis=0)  # [K]
+        # under query overflow some members were never explored: conservative
+        floating = qgate & ~cluster_connected & ~query_overflow
+        demote = qvalid & jnp.any(qslot & floating[None, :], axis=1)
         new_vals = jax.lax.cond(
             jnp.any(demote),
             lambda v: apply_demotions(v, reached, corners, demote, dyn.thr_frontiers),
@@ -181,6 +200,6 @@ def classify(
         reps=reps,
         labels=labels,
         n_far=ftotal,
-        far_overflow=overflow,
+        far_overflow=overflow | cluster_overflow,
         labels_converged=conv,
     )

@@ -172,7 +172,7 @@ class VoFOD:
             & (idx[:, 2] >= 0) & (idx[:, 2] < g.nz)
         )
         idx = idx[ok]
-        vals = np.asarray(self.state.grid)
+        vals = np.array(self.state.grid)  # host copy (device arrays are read-only)
         vals[idx[:, 2], idx[:, 1], idx[:, 0]] = np.inf  # ref stamps +inf (:341)
         self.state = self.state._replace(grid=jnp.asarray(vals))
         self._apriori_loaded = True
