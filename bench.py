@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""VoFOD-TPU benchmark: full scan->detections steps/sec on the flagship config.
+
+Workload (mirrors BASELINE.md): Ouster OS0-128 scans (128x1024 = 131,072 rays)
+against the reference's simulation operation area (120x100x25 m at 0.5 m =>
+241x201x51 ~= 2.47M voxel grid), full pipeline per scan: filtering, binning,
+clustering, close/far split, EMA point update, classification with bounded
+flood-fill, detection extraction, plane-sweep freespace raycast and
+separated-background maintenance.
+
+Baseline: the reference's implied real-time requirement of 10 scans/s on the
+onboard CPU (BASELINE.md); vs_baseline is the speedup over that.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from vofod_tpu.config import DynParams, VoFODConfig
+    from vofod_tpu.io.scan_source import Scene, hover_pose, render_scan
+    from vofod_tpu.pipeline.state import ScanInput, init_state
+    from vofod_tpu.pipeline.step import make_step_fn
+    from vofod_tpu.sensor import make_lut
+
+    cfg = VoFODConfig()
+    dyn = DynParams().as_arrays()
+    lut = make_lut(cfg.sensor)
+    step = make_step_fn(cfg, lut, raycast_mode="sweep", donate=True)
+
+    # scene: ground + a few structures + a flying target, sensor hovering
+    scene = Scene(ground_z=-1.0)
+    scene.add_box((50.0, 30.0, -1.0), (54.0, 34.0, 5.0))
+    scene.add_sphere(center=(25.0, 15.0, 6.0), radius=0.5)
+    poses = [
+        hover_pose((40.0, 20.0, 3.0), yaw=0.0),
+        hover_pose((40.5, 20.0, 3.1), yaw=0.05),
+        hover_pose((41.0, 20.5, 3.0), yaw=0.10),
+        hover_pose((40.5, 21.0, 3.1), yaw=0.05),
+    ]
+    scans = []
+    for p in poses:
+        r = render_scan(scene, lut, p)
+        scans.append(
+            ScanInput(
+                ranges_mm=jnp.asarray(r.astype(np.float32)),
+                intensity=jnp.ones(r.size, jnp.float32),
+                pose=jnp.asarray(p),
+            )
+        )
+
+    state = init_state(cfg)
+
+    # warm-up: compile + first steps
+    for i in range(4):
+        state, out = step(state, scans[i % len(poses)], dyn)
+    jax.block_until_ready(state)
+    _ = int(jax.device_get(out.diag.n_occupied))  # force a real sync
+
+    n_iter = 100
+    t0 = time.perf_counter()
+    for i in range(n_iter):
+        state, out = step(state, scans[i % len(poses)], dyn)
+    # force completion of the whole chain with a host readback
+    _ = int(jax.device_get(out.diag.n_occupied))
+    dt = time.perf_counter() - t0
+
+    scans_per_sec = n_iter / dt
+    baseline = 10.0  # reference real-time requirement (BASELINE.md)
+    print(
+        json.dumps(
+            {
+                "metric": "os128_scans_per_sec_single_chip",
+                "value": round(scans_per_sec, 2),
+                "unit": "scans/s",
+                "vs_baseline": round(scans_per_sec / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

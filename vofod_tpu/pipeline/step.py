@@ -83,6 +83,7 @@ def make_step_fn(
     raycast_mode: str = "sweep",
     raycast_every: int = 1,
     donate: bool = True,
+    jit: bool = True,
 ) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
     """Build the jitted step function.
 
@@ -215,5 +216,7 @@ def make_step_fn(
         )
         return new_state, StepOutput(detections=dets, diag=diag)
 
+    if not jit:
+        return step
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
