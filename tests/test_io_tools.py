@@ -1,0 +1,200 @@
+"""pc_loader (native + numpy), scan queue, mask creator, viz, sensor model."""
+
+import numpy as np
+import pytest
+
+from vofod_tpu.io.pc_loader import _load_cloud_np, _native_lib, load_cloud, save_cloud
+from vofod_tpu.io.scan_queue import ScanQueue
+from vofod_tpu.runtime.mask_creator import MaskCreator
+from vofod_tpu.runtime.viz import (
+    border_marker,
+    hsv_to_rgb,
+    lidar_ray_markers,
+    voxel_markers,
+)
+from vofod_tpu.sensor import (
+    check_sensor_params,
+    destagger,
+    load_mask,
+    make_lut_ouster,
+    make_lut_simulation,
+)
+
+
+class TestPcLoader:
+    def _roundtrip(self, tmp_path, name, header):
+        pts = np.array([[1.5, -2.0, 3.25], [0.0, 0.5, -1.0], [9, 8, 7]], np.float32)
+        p = str(tmp_path / name)
+        save_cloud(p, pts, pts_header=header)
+        got = load_cloud(p)
+        np.testing.assert_allclose(got, pts)
+        got_np = _load_cloud_np(p)
+        np.testing.assert_allclose(got_np, pts)
+
+    def test_pts_roundtrip(self, tmp_path):
+        self._roundtrip(tmp_path, "cloud.pts", True)
+
+    def test_txt_roundtrip(self, tmp_path):
+        self._roundtrip(tmp_path, "cloud.txt", False)
+
+    def test_native_loader_available_and_matches(self, tmp_path):
+        assert _native_lib() is not None, "native lib must be built"
+        pts = np.random.default_rng(1).normal(size=(500, 3)).astype(np.float32)
+        p = str(tmp_path / "big.pts")
+        save_cloud(p, pts)
+        native = load_cloud(p, use_native=True)
+        fallback = load_cloud(p, use_native=False)
+        np.testing.assert_allclose(native, fallback, rtol=1e-5)
+
+    def test_extra_columns_ignored(self, tmp_path):
+        p = str(tmp_path / "c.txt")
+        with open(p, "w") as f:
+            f.write("1 2 3 255 0 0\n4 5 6 0 255 0\n")
+        got = load_cloud(p)
+        np.testing.assert_allclose(got, [[1, 2, 3], [4, 5, 6]])
+
+    def test_missing_file(self):
+        with pytest.raises(FileNotFoundError):
+            load_cloud("/nonexistent/file.pts")
+
+
+class TestScanQueue:
+    def test_fifo_and_drop(self):
+        q = ScanQueue(n_points=16, capacity=2)
+        r0 = np.arange(16, dtype=np.uint32)
+        pose = np.eye(4, dtype=np.float32)
+        assert q.push(r0, pose)
+        assert q.push(r0 + 1, pose)
+        assert not q.push(r0 + 2, pose)  # full -> dropped
+        assert q.dropped == 1
+        a, p = q.pop()
+        np.testing.assert_array_equal(a, r0)
+        np.testing.assert_array_equal(p, pose)
+        b, _ = q.pop()
+        np.testing.assert_array_equal(b, r0 + 1)
+        assert q.pop() is None
+
+    def test_threaded_producer(self):
+        import threading
+
+        q = ScanQueue(n_points=8, capacity=64)
+        N = 50
+
+        def produce():
+            for i in range(N):
+                while not q.push(np.full(8, i, np.uint32), np.eye(4)):
+                    pass
+
+        t = threading.Thread(target=produce)
+        t.start()
+        got = []
+        while len(got) < N:
+            item = q.pop()
+            if item is not None:
+                got.append(int(item[0][0]))
+        t.join()
+        assert got == list(range(N))
+
+
+class TestMaskCreator:
+    def test_accumulates_zero_range_pixels(self):
+        mc = MaskCreator(4, 8)
+        r1 = np.ones(32, np.uint32) * 1000
+        r1[3] = 0
+        r2 = np.ones(32, np.uint32) * 1000
+        r2[7] = 0
+        mc.add_scan(r1)
+        mc.add_scan(r2)
+        m = mc.mask().reshape(-1)
+        assert m[3] == 0 and m[7] == 0
+        assert m.sum() == 30
+        mc.reset()
+        assert mc.mask().sum() == 32 and mc.n_scans == 0
+
+    def test_save_npy_roundtrip(self, tmp_path):
+        from vofod_tpu.sensor import load_mask
+
+        mc = MaskCreator(4, 8)
+        r = np.ones(32, np.uint32)
+        r[5] = 0
+        mc.add_scan(r)
+        p = str(tmp_path / "mask.npy")
+        mc.save(p)
+        loaded = load_mask(p, 8, 4)
+        assert loaded[5] == 0 and loaded.sum() == 31
+
+
+class TestSensor:
+    def test_sim_lut_reconstruction(self):
+        lut = make_lut_simulation(64, 16, np.deg2rad(90.0))
+        r = np.full(64 * 16, 5000, np.uint32)
+        pts = lut.directions * 5.0 + lut.offsets
+        assert check_sensor_params(lut, pts, r)
+        # perturbed points must fail
+        bad = pts + 0.01
+        assert not check_sensor_params(lut, bad, r)
+
+    def test_ouster_lut_reconstruction(self):
+        H, W = 8, 32
+        alt = np.linspace(-20, 20, H)
+        az = np.linspace(-2, 2, H)
+        lut = make_lut_ouster(W, H, az, alt, lidar_origin_to_beam_origin_mm=15.0)
+        # directions normalized; offsets small
+        np.testing.assert_allclose(
+            np.linalg.norm(lut.directions, axis=1), 1.0, atol=1e-5
+        )
+        assert np.abs(lut.offsets).max() < 0.05
+
+    def test_destagger(self):
+        img = np.arange(12).reshape(3, 4)
+        out = destagger(img, [0, 1, 2])
+        np.testing.assert_array_equal(out[0], img[0])
+        np.testing.assert_array_equal(out[1], [5, 6, 7, 4])
+        np.testing.assert_array_equal(out[2], [10, 11, 8, 9])
+
+    def test_mask_missing_gives_ones(self):
+        m = load_mask("/no/such/mask.png", 16, 4)
+        assert m.shape == (64,) and m.all()
+
+    def test_mask_mangled_column_major(self, tmp_path):
+        # reference layout quirk: mangled mask index = vv*H + u (:536-541)
+        H, W = 2, 4
+        mask = np.ones((H, W), np.uint8)
+        mask[1, 2] = 0
+        p = str(tmp_path / "m.npy")
+        np.save(p, mask)
+        out = load_mask(p, W, H, pixel_shift_by_row=[0, 1], mangle=True)
+        # u=1, v=2 -> vv=(2+1)%4=3 -> index 3*2+1 = 7
+        assert out[7] == 0
+        assert out.sum() == H * W - 1
+
+
+class TestViz:
+    def test_hsv(self):
+        assert hsv_to_rgb(0, 1, 1) == (1, 0, 0)
+        r, g, b = hsv_to_rgb(120, 1, 1)
+        assert g == 1 and r == 0
+
+    def test_voxel_markers_threshold_colors(self):
+        from vofod_tpu.geometry import GridSpec
+
+        g = GridSpec((0, 0, 0), (4, 4, 4), 0.5)
+        vals = np.full((4, 4, 4), -740.0, np.float32)
+        vals[1, 1, 1] = -100.0  # over new_obstacles
+        vals[2, 2, 2] = 10.0  # over apriori
+        m = voxel_markers(
+            vals, g, [(-300.0, (0, 0, 1, 1)), (0.0, (1, 0, 0, 1))]
+        )
+        assert len(m.points) == 2
+        cols = {tuple(c) for c in m.colors}
+        assert (0, 0, 1, 1) in cols and (1, 0, 0, 1) in cols
+
+    def test_border_and_rays(self):
+        from vofod_tpu.geometry import GridSpec
+
+        g = GridSpec((0, 0, 0), (4, 4, 4), 0.5)
+        b = border_marker(g)
+        assert b.points.shape == (24, 3)
+        lut = make_lut_simulation(16, 4, np.deg2rad(45.0))
+        rm = lidar_ray_markers(lut, np.zeros(64, np.uint32), np.eye(4), stride=8)
+        assert rm.points.shape[0] == 2 * (64 // 8)

@@ -59,7 +59,7 @@ def propagate_reach(
 
     def body(state):
         cur, _, it = state
-        grown = occ & (ball_pool_max(cur.astype(jnp.uint8), radius, fill=0) > 0)
+        grown = occ & (ball_pool_max(cur.astype(jnp.int32), radius, fill=0) > 0)
         new = cur | grown
         return new, jnp.any(new != cur), it + 1
 
@@ -67,6 +67,55 @@ def propagate_reach(
     state = (cur, jnp.bool_(True), jnp.int32(0))
     cur, changed, _ = jax.lax.while_loop(cond, body, state)
     return cur, ~changed
+
+
+def label_components_seeded(
+    occupied: Array, seed: Array, radius: float, max_iters: int
+) -> tuple[Array, Array, Array]:
+    """One propagation computing components AND seed-reachability together.
+
+    The seed flag is embedded in the propagated key:
+    ``key0 = flat_id + (1 - seed) * NV``; the min over a component is
+    ``min(seeded flat ids)`` if the component contains a seed, else
+    ``min(flat ids) + NV``.  So after convergence ``key < NV`` is exactly
+    "component contains a seed" (the reference's cluster is_close,
+    vofod_nodelet.cpp:728-750) and ``key mod NV`` is a consistent component
+    label — one stencil loop instead of two.
+
+    Returns (labels, seed_reached, converged); labels = SENTINEL off-mask.
+    """
+    occ = occupied.astype(jnp.bool_)
+    nz, ny, nx = occ.shape
+    nv = jnp.int32(nz * ny * nx)
+    flat = jnp.arange(nz * ny * nx, dtype=jnp.int32).reshape(occ.shape)
+    key0 = flat + jnp.where(seed & occ, 0, nv)
+    keys = jnp.where(occ, key0, SENTINEL)
+
+    def cond(state):
+        _, changed, it = state
+        return changed & (it < max_iters)
+
+    def body(state):
+        keys, _, it = state
+        pooled = ball_pool_min(keys, radius)
+        new = jnp.where(occ, jnp.minimum(keys, pooled), SENTINEL)
+        # Convergence ignores label churn inside already-seed-reached
+        # components: only the reached set and the keys of still-unreached
+        # (future far) voxels must stabilize.  Labels of reached (background)
+        # components are never consumed downstream, and waiting for global
+        # min-label agreement across the huge ground component would cost
+        # ~diameter/radius extra sweeps per scan.
+        new_reached = new < nv
+        changed = jnp.any(
+            (new_reached != (keys < nv)) | (~new_reached & (new != keys))
+        )
+        return new, changed, it + 1
+
+    state = (keys, jnp.bool_(True), jnp.int32(0))
+    keys, changed, _ = jax.lax.while_loop(cond, body, state)
+    reached = occ & (keys < nv)
+    labels = jnp.where(occ, jnp.where(keys < nv, keys, keys - nv), SENTINEL)
+    return labels, reached, ~changed
 
 
 def label_components(

@@ -5,10 +5,12 @@ Covers three reference stages on dense grids:
 * background sufficiency gate (ref findCloseFarClusters head,
   vofod_nodelet.cpp:713-725),
 * Euclidean clustering + close/far split (ref clusterCloud :689-698 +
-  findCloseFarClusters :728-750) — closeness is a component-wide property, so
-  seeded reachability through the occupied set under ball adjacency computes
-  the exact is_close flag of every cluster without materializing close-cluster
-  labels (see ops/components.py),
+  findCloseFarClusters :728-750) — closeness is a component-wide property,
+  computed together with the component labels in ONE seeded min-label
+  propagation (ops/components.py label_components_seeded); the seeds are the
+  occupied voxels whose hasCloseTo ball query over the background mask
+  succeeds (ref voxel_map.cpp:376-400), evaluated for all voxels at once by a
+  ball max-pool,
 * the weighted EMA point update (ref updateVoxel :776-796:
   ``w = 2^-count; map = w*map + (1-w)*score``) with close clusters pulling
   toward scores/point and far clusters toward scores/unknown (ref :946-948).
@@ -21,8 +23,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from vofod_tpu.config import DynParams, VoFODConfig
-
-from vofod_tpu.ops.components import propagate_reach
+from vofod_tpu.ops.components import label_components_seeded
 from vofod_tpu.ops.morphology import ball_pool_max
 
 Array = jnp.ndarray
@@ -33,6 +34,7 @@ class BackgroundOut(NamedTuple):
     occupied: Array  # bool — voxels with points this scan (the "flags")
     far: Array  # bool — occupied, not background-connected
     close: Array
+    labels: Array  # int32 component labels (SENTINEL off-mask)
     n_bg_voxels: Array
     bg_sufficient: Array
     cc_converged: Array
@@ -48,12 +50,13 @@ def split_and_update(
     n_bg = bg_mask.sum().astype(jnp.int32)
     bg_sufficient = n_bg > cfg.background_min_sufficient_pts
 
-    # --- close/far split ------------------------------------------------------
+    # --- close/far split + component labels (one propagation) ---------------
     occupied = counts > 0
-    # hasCloseTo ball query for every voxel at once (ref voxel_map.cpp:376-400)
-    bg_near = ball_pool_max(bg_mask.astype(jnp.uint8), radius, fill=0) > 0
+    bg_near = ball_pool_max(bg_mask.astype(jnp.int32), radius, fill=0) > 0
     seed = occupied & bg_near
-    close, cc_converged = propagate_reach(occupied, seed, radius, cfg.max_cc_iters)
+    labels, close, cc_converged = label_components_seeded(
+        occupied, seed, radius, cfg.max_cc_iters
+    )
     far = occupied & ~close
 
     # --- EMA point update (ref updateVoxel :789-795) --------------------------
@@ -66,6 +69,7 @@ def split_and_update(
         occupied=occupied,
         far=far,
         close=close,
+        labels=labels,
         n_bg_voxels=n_bg,
         bg_sufficient=bg_sufficient,
         cc_converged=cc_converged,

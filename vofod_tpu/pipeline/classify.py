@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from vofod_tpu.config import DynParams, VoFODConfig
 from vofod_tpu.geometry import GridSpec
 from vofod_tpu.ops.compaction import masked_compact
-from vofod_tpu.ops.components import SENTINEL, label_components
+from vofod_tpu.ops.components import SENTINEL
 from vofod_tpu.ops.explore import apply_demotions, explore_to_ground
 
 Array = jnp.ndarray
@@ -62,6 +62,8 @@ def classify(
     grid: GridSpec,
     grid_vals: Array,
     far: Array,
+    labels: Array,  # component labels from the seeded propagation
+    labels_converged: Array,
     sensor_pos: Array,  # [3] world
     bg_sufficient: Array,
     sure_bg_sufficient: Array,
@@ -69,9 +71,7 @@ def classify(
     K = cfg.max_clusters
     F = cfg.max_far_voxels
     Q = cfg.max_queries
-    radius = cfg.ground_points_max_distance / cfg.voxel_size
-
-    labels, conv = label_components(far, radius, cfg.max_cc_iters)
+    conv = labels_converged
 
     fids, fvalid, ftotal = masked_compact(far, F)
     overflow = ftotal > F

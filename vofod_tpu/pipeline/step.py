@@ -118,6 +118,8 @@ def make_step_fn(
             grid,
             bg.grid,
             bg.far,
+            bg.labels,
+            bg.cc_converged,
             sensor_pos,
             bg.bg_sufficient,
             state.sure_bg_sufficient,
