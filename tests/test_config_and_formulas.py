@@ -1,0 +1,205 @@
+"""Config loading, update-rule formulas, detection math, sepclusters, profiling."""
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vofod_tpu.config import DynParams, VoFODConfig, load_config
+from vofod_tpu.pipeline.sepclusters import run_sepclusters
+from vofod_tpu.pipeline.step import ray_update
+from vofod_tpu.runtime.profiling import ProfilingStream, ScopeTimer
+from vofod_tpu.runtime.ros_adapter import pointcloud2_to_ranges
+
+
+class TestConfig:
+    def test_load_reference_format_yaml(self):
+        cfg, dyn = load_config(
+            "configs/detection_params.yaml",
+            "configs/sensors/os0-128.yaml",
+            "configs/apriori_maps/sim.yaml",
+        )
+        # grid sizing matches the reference sim setup (SURVEY.md §6)
+        assert cfg.grid_shape == (51, 201, 241)
+        assert cfg.sensor.vertical_rays == 128
+        assert cfg.sensor.horizontal_rays == 1024
+        assert abs(cfg.sensor.vertical_fov - math.pi / 2) < 1e-6
+        # z offsets corrected from bottom to center (ref :204, :212)
+        assert cfg.oparea.offset[2] == pytest.approx(-1.25 + 12.5)
+        assert cfg.exclude_box.offset[2] == pytest.approx(-0.75 + 0.8)
+        assert dyn.score_init == -740.0
+        assert dyn.thr_frontiers == -750.0
+        assert dyn.raycast_new_update_rule is True
+        assert cfg.sepclusters_max_bg_distance == 0.8
+
+    def test_background_min_sufficient(self):
+        cfg = VoFODConfig()
+        # ref :228-230: n_xy * ratio = (120/0.5)*(100/0.5)*0.15 = 7200
+        assert cfg.background_min_sufficient_pts == pytest.approx(7200.0)
+
+    def test_dynparams_pytree(self):
+        import jax
+
+        dyn = DynParams().as_arrays()
+        leaves = jax.tree.leaves(dyn)
+        assert len(leaves) == 20
+        # tracing through jit must not recompile on value changes
+        calls = []
+
+        @jax.jit
+        def f(d):
+            calls.append(1)
+            return d.score_point + d.thr_frontiers
+
+        f(dyn)
+        import dataclasses
+
+        f(dataclasses.replace(dyn, score_point=jnp.float32(5.0)).as_arrays())
+        assert len(calls) == 1
+
+
+class TestRayUpdateRules:
+    def _grid(self):
+        return jnp.full((4, 4, 4), -740.0, jnp.float32)
+
+    def test_new_rule_formula(self):
+        cfg = VoFODConfig()
+        dyn = DynParams().as_arrays()
+        raylen = jnp.zeros((4, 4, 4), jnp.float32).at[1, 1, 1].set(10.0)
+        had = jnp.zeros((4, 4, 4), bool)
+        out = np.asarray(
+            ray_update(cfg, dyn, self._grid(), raylen, had, jnp.float32(1.0))
+        )
+        # w1 = 2^-(0.003/ (sqrt(3)*0.5) * 10) (ref :1550-1573)
+        w1 = 2 ** (-(0.003 / (math.sqrt(3) * 0.5)) * 10.0)
+        want = w1 * -740.0 + (1 - w1) * -1000.0
+        assert out[1, 1, 1] == pytest.approx(want, rel=1e-5)
+        assert out[0, 0, 0] == -740.0  # raylen 0 -> untouched
+
+    def test_old_rule_formula(self):
+        import dataclasses
+
+        cfg = VoFODConfig()
+        dyn = dataclasses.replace(DynParams(), raycast_new_update_rule=False).as_arrays()
+        raylen = jnp.zeros((4, 4, 4), jnp.float32)
+        raylen = raylen.at[1, 1, 1].set(4.0).at[2, 2, 2].set(1.0)
+        had = jnp.zeros((4, 4, 4), bool)
+        out = np.asarray(
+            ray_update(cfg, dyn, self._grid(), raylen, had, jnp.float32(2.0))
+        )
+        # ref :1574-1601: norm by max (4.0), w_single = c*sqrt(norm),
+        # w1 = (1-w_single)^its_diff
+        for idx, rl in (((1, 1, 1), 4.0), ((2, 2, 2), 1.0)):
+            ws = 0.003 * math.sqrt(rl / 4.0)
+            w1 = (1 - ws) ** 2.0
+            want = w1 * -740.0 + (1 - w1) * -1000.0
+            assert out[idx] == pytest.approx(want, rel=1e-5)
+
+    def test_flag_guard(self):
+        cfg = VoFODConfig()
+        dyn = DynParams().as_arrays()
+        raylen = jnp.full((4, 4, 4), 100.0, jnp.float32)
+        had = jnp.zeros((4, 4, 4), bool).at[1, 1, 1].set(True)
+        out = np.asarray(
+            ray_update(cfg, dyn, self._grid(), raylen, had, jnp.float32(1.0))
+        )
+        assert out[1, 1, 1] == -740.0  # had a point -> not ray-updated
+        assert out[0, 0, 0] < -740.0
+
+
+class TestSepClusters:
+    def _cfg(self):
+        from vofod_tpu.config import Box, SensorConfig
+
+        return VoFODConfig(
+            sensor=SensorConfig(vertical_rays=8, horizontal_rays=16),
+            oparea=Box((0, 0, 4), (12.0, 12.0, 12.0)),
+        )
+
+    def test_disconnected_cluster_demoted(self):
+        cfg = self._cfg()
+        dyn = DynParams().as_arrays()
+        vals = np.full(cfg.grid_shape, -740.0, np.float32)
+        # big sure slab (>24 locally-dense sure voxels)
+        vals[4, 4:12, 4:12] = 0.0
+        # small disconnected bg clump far away (bg but not sure-connected)
+        vals[15, 20, 20] = -200.0
+        safe0 = jnp.zeros(cfg.grid_shape, bool)
+        out = run_sepclusters(cfg, dyn, jnp.asarray(vals), safe0, jnp.float32(1.0))
+        assert bool(out.sure_bg_sufficient)
+        v = np.asarray(out.grid)
+        # clump demoted toward ray score with w=0.5: (-200 + -1000)/2
+        assert v[15, 20, 20] == pytest.approx(0.5 * -200.0 + 0.5 * -1000.0)
+        # the sure slab stays
+        assert v[4, 8, 8] == 0.0
+
+    def test_no_sure_cluster_no_demotion(self):
+        cfg = self._cfg()
+        dyn = DynParams().as_arrays()
+        vals = np.full(cfg.grid_shape, -740.0, np.float32)
+        vals[15, 20, 20] = -200.0  # bg but nothing sure anywhere
+        out = run_sepclusters(
+            cfg, dyn, jnp.asarray(vals), jnp.zeros(cfg.grid_shape, bool),
+            jnp.float32(1.0),
+        )
+        assert not bool(out.sure_bg_sufficient)
+        assert np.asarray(out.grid)[15, 20, 20] == -200.0
+
+    def test_warm_start_carries(self):
+        cfg = self._cfg()
+        dyn = DynParams().as_arrays()
+        vals = np.full(cfg.grid_shape, -740.0, np.float32)
+        vals[4, 4:12, 4:12] = 0.0
+        out1 = run_sepclusters(
+            cfg, dyn, jnp.asarray(vals), jnp.zeros(cfg.grid_shape, bool),
+            jnp.float32(1.0),
+        )
+        out2 = run_sepclusters(cfg, dyn, out1.grid, out1.safe, jnp.float32(1.0))
+        assert bool(out2.converged)
+        assert np.asarray(out2.safe)[4, 8, 8]
+
+
+class TestDetectFormulas:
+    def test_pdet_and_covariance_against_reference_math(self):
+        # run the small e2e once is covered elsewhere; here check the math
+        # directly (ref :849, :869-874)
+        d = 8.0
+        vres = math.radians(90.0) / 32
+        hres = 2 * math.pi / 256
+        pdet_v = min(math.atan(1 / d) / (vres * 2), 1.0)
+        pdet_h = min(math.atan(1 / d) / hres, 1.0)
+        assert 0 < pdet_v <= 1 and 0 < pdet_h <= 1
+        sigma = math.sqrt(d) * 0.1
+        assert sigma == pytest.approx(0.2828, rel=1e-3)
+
+
+class TestProfiling:
+    def test_event_stream_sequences(self):
+        from vofod_tpu.io.msgs import ProfilingInfo
+
+        ps = ProfilingStream()
+        with ps.routine(ProfilingInfo.ROUTINE_CNC):
+            pass
+        with ps.routine(ProfilingInfo.ROUTINE_CNC):
+            pass
+        with ps.routine(ProfilingInfo.ROUTINE_RAYCASTING):
+            pass
+        evts = ps.events
+        assert [e.event_type for e in evts] == [0, 1, 0, 1, 0, 1]
+        cnc = [e for e in evts if e.routine_id == ProfilingInfo.ROUTINE_CNC]
+        assert [e.event_sequence for e in cnc] == [0, 0, 1, 1]
+
+    def test_scope_timer(self):
+        t = ScopeTimer("x")
+        t.checkpoint("a")
+        t.checkpoint("b")
+        assert len(t.checkpoints) == 2
+        assert all(dt >= 0 for _, dt in t.checkpoints)
+
+
+class TestRosConversion:
+    def test_xyz_to_ranges(self):
+        xyz = np.array([[3.0, 4.0, 0.0], [0, 0, 0], [np.nan] * 3])
+        r = pointcloud2_to_ranges({"xyz": xyz}, 1, 3)
+        np.testing.assert_array_equal(r, [5000, 0, 0])

@@ -270,10 +270,11 @@ class DynParams:
         out = {}
         for f in dataclasses.fields(self):
             v = getattr(self, f.name)
-            if isinstance(v, (bool, np.bool_)):
-                out[f.name] = jnp.asarray(v, dtype=jnp.bool_)
-            else:
-                out[f.name] = jnp.asarray(v, dtype=jnp.float32)
+            is_bool = isinstance(v, (bool, np.bool_)) or (
+                hasattr(v, "dtype") and v.dtype == np.bool_
+            )
+            dtype = jnp.bool_ if is_bool else jnp.float32
+            out[f.name] = jnp.asarray(v, dtype=dtype)
         return DynParams(**out)
 
     @staticmethod
