@@ -56,3 +56,23 @@ def bin_points(
         w, mode="drop", indices_are_sorted=False
     )
     return counts.reshape(grid.shape)
+
+
+def bin_points_multi(
+    grid: GridSpec, pts: Array, channel_weights: Array
+) -> Array:
+    """Multi-channel histogram in ONE scatter: channel_weights [N, C] ->
+    int32 [C, nz, ny, nx].  Scatter indexing dominates the cost, so fusing
+    the filtered-counts and raycast-blocker channels roughly halves the
+    frontend's scatter time."""
+    ix, iy, iz = grid.coord_to_idx(pts)
+    inb = grid.in_limits_idx(ix, iy, iz)
+    fid = grid.flat_id(
+        jnp.clip(ix, 0, grid.nx - 1),
+        jnp.clip(iy, 0, grid.ny - 1),
+        jnp.clip(iz, 0, grid.nz - 1),
+    )
+    w = jnp.where(inb[:, None], channel_weights, 0).astype(jnp.int32)  # [N, C]
+    c = channel_weights.shape[1]
+    flat = jnp.zeros((grid.n_voxels, c), jnp.int32).at[fid].add(w, mode="drop")
+    return jnp.moveaxis(flat.reshape(grid.shape + (c,)), -1, 0)

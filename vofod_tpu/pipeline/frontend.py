@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from vofod_tpu.config import VoFODConfig
 from vofod_tpu.geometry import GridSpec, box_mask, se3_apply
-from vofod_tpu.ops.binning import bin_points
+from vofod_tpu.ops.binning import bin_points_multi
 from vofod_tpu.sensor import RANGE_TO_METERS
 
 Array = jnp.ndarray
@@ -49,14 +49,16 @@ def run_frontend(
     in_oparea = box_mask(pts_world, cfg.oparea.lo, cfg.oparea.hi)
 
     valid = has_return & ~in_exclude & in_oparea
-    counts = bin_points(grid, pts_world, valid)
-
-    # raycast opacity: any return inside the grid (airframe hits included)
+    # raycast opacity: any return inside the grid (airframe hits included,
+    # they truncate rays in the reference too)
     blocker_valid = has_return & in_oparea
-    blockers = bin_points(grid, pts_world, blocker_valid) > 0
-
+    both = bin_points_multi(
+        grid,
+        pts_world,
+        jnp.stack([valid, blocker_valid], axis=-1).astype(jnp.int32),
+    )
     return FrontendOut(
-        counts=counts,
-        blockers=blockers,
+        counts=both[0],
+        blockers=both[1] > 0,
         n_valid_points=valid.sum().astype(jnp.int32),
     )
