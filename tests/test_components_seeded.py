@@ -1,0 +1,45 @@
+"""Seeded label propagation: labels + closeness in one pass vs oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from vofod_tpu.ops.components import SENTINEL, label_components_seeded
+
+from oracles import euclidean_clusters_np
+
+
+class TestSeededLabels:
+    def test_reached_and_labels_match_oracle(self, rng):
+        for _ in range(6):
+            occ = rng.random((9, 11, 13)) < 0.10
+            seed = (rng.random((9, 11, 13)) < 0.03) & occ
+            labels, reached, conv = label_components_seeded(
+                jnp.asarray(occ), jnp.asarray(seed), 3.0, 64
+            )
+            assert bool(conv)
+            got_lab = np.asarray(labels)
+            got_reach = np.asarray(reached)
+            want_lab, ncomp = euclidean_clusters_np(occ, 3.0)
+            seed_comps = set(want_lab[seed])
+            want_reach = np.isin(want_lab, list(seed_comps)) & occ
+            np.testing.assert_array_equal(got_reach, want_reach)
+            # labels form the same partition on UNREACHED (far) voxels
+            far = occ & ~want_reach
+            seen = {}
+            for z, y, x in zip(*np.nonzero(far)):
+                g, w = got_lab[z, y, x], want_lab[z, y, x]
+                assert seen.setdefault(g, w) == w, "label split a component"
+            # distinct oracle components -> distinct labels
+            assert len(set(seen.values())) == len(seen)
+            assert (got_lab[~occ] == int(SENTINEL)).all()
+
+    def test_far_label_is_min_member_id(self, rng):
+        occ = np.zeros((8, 8, 8), bool)
+        occ[2, 2, 2] = occ[2, 2, 3] = True  # one small component, no seeds
+        labels, reached, conv = label_components_seeded(
+            jnp.asarray(occ), jnp.zeros_like(jnp.asarray(occ)), 3.0, 16
+        )
+        fid = (2 * 8 + 2) * 8 + 2
+        assert int(np.asarray(labels)[2, 2, 2]) == fid
+        assert int(np.asarray(labels)[2, 2, 3]) == fid
+        assert not np.asarray(reached).any()
