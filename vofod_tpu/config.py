@@ -97,8 +97,11 @@ class VoFODConfig:
     sepclusters_max_bg_distance: float = 0.8
 
     # --- static capacities of the fixed-shape TPU pipeline -----------------
-    # max far (non-background) clusters tracked per scan
-    max_clusters: int = 16
+    # max far (non-background) clusters tracked per scan; slots fill in
+    # ascending component-label order, so keep generous headroom — sparse
+    # distant ground legitimately forms several large ring clusters that
+    # occupy slots before failing the size gate (per-slot math is cheap)
+    max_clusters: int = 32
     # max far voxels compacted for per-cluster statistics; beyond this the
     # scan's classification is skipped (cold-start scans only)
     max_far_voxels: int = 2048

@@ -76,3 +76,38 @@ def bin_points_multi(
     c = channel_weights.shape[1]
     flat = jnp.zeros((grid.n_voxels, c), jnp.int32).at[fid].add(w, mode="drop")
     return jnp.moveaxis(flat.reshape(grid.shape + (c,)), -1, 0)
+
+
+def voxel_grid_counted(
+    pts: Array,
+    intensity: Array,
+    valid: Array,
+    leaf_size: float,
+    threshold: Array | float,
+    origin=(0.0, 0.0, 0.0),
+    out_shape: tuple[int, int, int] = (64, 64, 64),
+) -> tuple[Array, Array]:
+    """Standalone VoxelGridCounted parity op (ref src/voxel_grid_counted.cpp).
+
+    Coarse-bins intensity-carrying points; per occupied cell returns the
+    total point count and the count of points with ``intensity > threshold``
+    (the reference's ``range`` output channel, :176-195).  The reference has
+    an indexing quirk in its 4th pass (it counts over positions in the
+    *sorted index vector*, :185-187 — SURVEY.md §2); this implements the
+    spec-correct behavior, which coincides with the quirk whenever the input
+    is already cell-sorted (true for its only call site's dense-export input).
+
+    Returns (counts, sure_counts), each int32 with ``out_shape`` (z, y, x)
+    cells of size ``leaf_size`` anchored at ``origin``.
+    """
+    g = GridSpec(tuple(float(o) for o in origin), tuple(out_shape), float(leaf_size))
+    ix, iy, iz = g.coord_to_idx(pts)
+    inb = g.in_limits_idx(ix, iy, iz) & valid
+    fid = g.flat_id(
+        jnp.clip(ix, 0, g.nx - 1), jnp.clip(iy, 0, g.ny - 1), jnp.clip(iz, 0, g.nz - 1)
+    )
+    sure = inb & (intensity > threshold)
+    w = jnp.stack([inb, sure], axis=-1).astype(jnp.int32)
+    flat = jnp.zeros((g.n_voxels, 2), jnp.int32).at[fid].add(w, mode="drop")
+    out = flat.reshape(g.shape + (2,))
+    return out[..., 0], out[..., 1]

@@ -84,6 +84,7 @@ def make_step_fn(
     raycast_every: int = 1,
     donate: bool = True,
     jit: bool = True,
+    mask=None,
 ) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
     """Build the jitted step function.
 
@@ -93,10 +94,19 @@ def make_step_fn(
     raycast_every: apply the freespace update every N steps with
       its_diff = N (the reference's raycast thread naturally skips scans
       under load and compensates identically, ref :1540-1548).
+    mask: optional uint8/bool [H*W] FOV mask (1 = usable).  Gates the exact
+      raycast like the reference (skip when masked AND no return,
+      ref :1449-1450); the sweep mode approximates per-pixel masks by the
+      opacity grid (DESIGN.md §3).
     """
     grid = GridSpec.from_config(cfg)
     lut_dirs = jnp.asarray(lut.directions)
     lut_offs = jnp.asarray(lut.offsets)
+    mask_dev = (
+        jnp.asarray(mask).reshape(-1) > 0
+        if mask is not None
+        else jnp.ones((cfg.sensor.n_points,), jnp.bool_)
+    )
 
     def step(
         state: VoFODState, scan: ScanInput, dyn: DynParams
@@ -152,6 +162,7 @@ def make_step_fn(
                     )
                     rvalid = (
                         (scan.intensity >= dyn.raycast_min_intensity)
+                        & (mask_dev | (r > 0))  # ref :1449-1450
                         & grid.in_limits(starts)
                     )
                     raylen = raycast_dda(

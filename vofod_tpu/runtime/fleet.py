@@ -1,0 +1,116 @@
+"""FleetVoFOD: multi-stream serving over a device mesh.
+
+The production scaling story (DESIGN.md §6): N independent sensor streams,
+one detector state each, batched with vmap and sharded over the mesh "data"
+axis.  Each chip runs its streams' full pipeline locally; throughput scales
+linearly with chips since no collectives appear on the hot path.
+
+This replaces (and massively widens) the reference's N pointcloud_loop worker
+threads over one shared map (vofod_nodelet.cpp:1324-1328) — the reference
+parallelizes scans of ONE sensor into one map, the fleet parallelizes whole
+detectors.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vofod_tpu.config import DynParams, VoFODConfig
+from vofod_tpu.geometry import GridSpec
+from vofod_tpu.io.msgs import Detection, Detections, Header
+from vofod_tpu.parallel.sharding import (
+    init_batched_state,
+    make_batched_step,
+    make_mesh,
+)
+from vofod_tpu.pipeline.state import ScanInput
+from vofod_tpu.sensor import make_lut
+
+
+class FleetVoFOD:
+    """Batch-of-detectors; call :meth:`process_scans` with per-stream scans."""
+
+    def __init__(
+        self,
+        cfg: VoFODConfig | None = None,
+        dyn: DynParams | None = None,
+        n_streams: int | None = None,
+        mesh=None,
+        **step_kw,
+    ):
+        self.cfg = cfg or VoFODConfig()
+        self.dyn = dyn or DynParams()
+        self.mesh = mesh or make_mesh()
+        self.n_streams = n_streams or self.mesh.devices.size
+        if self.n_streams % self.mesh.devices.size != 0:
+            raise ValueError("n_streams must be a multiple of the mesh size")
+        self.grid_spec = GridSpec.from_config(self.cfg)
+        self.lut = make_lut(self.cfg.sensor)
+        self._step = make_batched_step(self.cfg, self.lut, self.mesh, **step_kw)
+        self.state = init_batched_state(self.cfg, self.dyn, self.n_streams, self.mesh)
+        self.last_diag = None
+
+    def process_scans(
+        self, ranges_mm: np.ndarray, poses: np.ndarray, stamp: float = 0.0
+    ) -> list[Detections]:
+        """ranges_mm: [B, H*W]; poses: [B, 4, 4].  Returns one Detections
+        message per stream."""
+        B = self.n_streams
+        scans = ScanInput(
+            ranges_mm=jnp.asarray(
+                np.asarray(ranges_mm, np.float32).reshape(B, -1)
+            ),
+            intensity=jnp.ones((B, self.cfg.sensor.n_points), jnp.float32),
+            pose=jnp.asarray(np.asarray(poses, np.float32).reshape(B, 4, 4)),
+        )
+        self.state, out = self._step(self.state, scans, self.dyn.as_arrays())
+        d = jax.device_get(out.detections)
+        self.last_diag = jax.device_get(out.diag)
+        msgs = []
+        for b in range(B):
+            msg = Detections(header=Header(stamp, f"stream{b}"))
+            for k in range(d.valid.shape[1]):
+                if not d.valid[b, k]:
+                    continue
+                msg.detections.append(
+                    Detection(
+                        id=int(d.id[b, k]),
+                        confidence=float(d.confidence[b, k]),
+                        n_points=int(d.n_points[b, k]),
+                        position=tuple(float(v) for v in d.position[b, k]),
+                        covariance=tuple(
+                            float(v) for v in d.covariance[b, k].reshape(-1)
+                        ),
+                        detection_probability=float(
+                            d.detection_probability[b, k]
+                        ),
+                    )
+                )
+            msgs.append(msg)
+        return msgs
+
+    def load_apriori_map(self, points_xyz: np.ndarray, stream: int | None = None):
+        """Stamp an apriori cloud into one stream's map (or all streams)."""
+        g = self.grid_spec
+        pts = np.asarray(points_xyz, np.float32)
+        ox, oy, oz = g.origin
+        idx = np.floor((pts - np.array([ox, oy, oz])) / g.voxel_size).astype(np.int64)
+        ok = (
+            (idx[:, 0] >= 0) & (idx[:, 0] < g.nx)
+            & (idx[:, 1] >= 0) & (idx[:, 1] < g.ny)
+            & (idx[:, 2] >= 0) & (idx[:, 2] < g.nz)
+        )
+        idx = idx[ok]
+        vals = np.array(self.state.grid)
+        streams = range(self.n_streams) if stream is None else [stream]
+        for b in streams:
+            vals[b, idx[:, 2], idx[:, 1], idx[:, 0]] = np.inf
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharded = jax.device_put(
+            jnp.asarray(vals), NamedSharding(self.mesh, P("data"))
+        )
+        self.state = self.state._replace(grid=sharded)
+        return int(idx.shape[0])

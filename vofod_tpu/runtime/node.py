@@ -30,6 +30,9 @@ class NodeOptions:
     raycast_every: int = 1
     world_frame_id: str = "world"
     throttle_period: float = 1.0
+    mask_path: str = ""  # FOV mask (ref raycast/mask_filename)
+    mask_mangle: bool = False  # destagger+transpose quirk (ref :527-543)
+    check_consistency: bool = False  # LUT vs points check (ref :1869-1917)
 
 
 class VoFOD:
@@ -48,11 +51,20 @@ class VoFOD:
         self.grid_spec = GridSpec.from_config(self.cfg)
         self.lut = lut or make_lut(self.cfg.sensor)
         self.profiling = ProfilingStream()
+        from vofod_tpu.sensor import load_mask
+
+        self.mask = load_mask(
+            self.options.mask_path,
+            self.cfg.sensor.horizontal_rays,
+            self.cfg.sensor.vertical_rays,
+            mangle=self.options.mask_mangle,
+        )
         self._step = make_step_fn(
             self.cfg,
             self.lut,
             raycast_mode=self.options.raycast_mode,
             raycast_every=self.options.raycast_every,
+            mask=self.mask,
         )
         self._rangefinder_update = jax.jit(self._make_rangefinder_update())
         self.state: VoFODState = init_state(self.cfg, self.dyn)
@@ -177,6 +189,24 @@ class VoFOD:
         self.state = self.state._replace(grid=jnp.asarray(vals))
         self._apriori_loaded = True
         return int(idx.shape[0])
+
+    # -------------------------------------------------------------- live tuning
+    def update_params(self, **kwargs) -> None:
+        """Change scores/thresholds/gates between scans without recompiling —
+        the dynamic_reconfigure analogue (ref DetectionParams.cfg params are
+        read every scan, vofod_nodelet.cpp m_drmgr_ptr->config.*)."""
+        import dataclasses as _dc
+
+        self.dyn = _dc.replace(self.dyn, **kwargs)
+
+    def check_scan_consistency(
+        self, points_xyz: np.ndarray, ranges_mm: np.ndarray
+    ) -> bool:
+        """Validate received points against the LUT ray model
+        (ref check_sensor_params, vofod_nodelet.cpp:1869-1917)."""
+        from vofod_tpu.sensor import check_sensor_params
+
+        return check_sensor_params(self.lut, points_xyz, ranges_mm)
 
     # ----------------------------------------------------------------- status
     def status(self) -> Status:
