@@ -14,7 +14,7 @@ import jax.numpy as jnp
 
 from vofod_tpu.config import VoFODConfig
 from vofod_tpu.geometry import GridSpec, box_mask, se3_apply
-from vofod_tpu.ops.binning import bin_points_multi
+from vofod_tpu.ops.binning import bin_points
 from vofod_tpu.sensor import RANGE_TO_METERS
 
 Array = jnp.ndarray
@@ -50,15 +50,13 @@ def run_frontend(
 
     valid = has_return & ~in_exclude & in_oparea
     # raycast opacity: any return inside the grid (airframe hits included,
-    # they truncate rays in the reference too)
+    # they truncate rays in the reference too).  Two separate flat scatters
+    # measure faster than one 2-channel scatter + channel transpose on v5e.
     blocker_valid = has_return & in_oparea
-    both = bin_points_multi(
-        grid,
-        pts_world,
-        jnp.stack([valid, blocker_valid], axis=-1).astype(jnp.int32),
-    )
+    counts = bin_points(grid, pts_world, valid)
+    blockers = bin_points(grid, pts_world, blocker_valid) > 0
     return FrontendOut(
-        counts=both[0],
-        blockers=both[1] > 0,
+        counts=counts,
+        blockers=blockers,
         n_valid_points=valid.sum().astype(jnp.int32),
     )
