@@ -13,7 +13,7 @@ class TestSeededLabels:
         for _ in range(6):
             occ = rng.random((9, 11, 13)) < 0.10
             seed = (rng.random((9, 11, 13)) < 0.03) & occ
-            labels, reached, conv = label_components_seeded(
+            labels, reached, conv, _ = label_components_seeded(
                 jnp.asarray(occ), jnp.asarray(seed), 3.0, 64
             )
             assert bool(conv)
@@ -33,13 +33,23 @@ class TestSeededLabels:
             assert len(set(seen.values())) == len(seen)
             assert (got_lab[~occ] == int(SENTINEL)).all()
 
-    def test_far_label_is_min_member_id(self, rng):
+    def test_far_label_prioritizes_high_z(self, rng):
         occ = np.zeros((8, 8, 8), bool)
         occ[2, 2, 2] = occ[2, 2, 3] = True  # one small component, no seeds
-        labels, reached, conv = label_components_seeded(
+        labels, reached, conv, _ = label_components_seeded(
             jnp.asarray(occ), jnp.zeros_like(jnp.asarray(occ)), 3.0, 16
         )
-        fid = (2 * 8 + 2) * 8 + 2
-        assert int(np.asarray(labels)[2, 2, 2]) == fid
-        assert int(np.asarray(labels)[2, 2, 3]) == fid
+        nv = 8 * 8 * 8
+        # label = reversed flat id of the max-flat-id member (2,2,3)
+        want = (nv - 1) - ((2 * 8 + 2) * 8 + 3)
+        assert int(np.asarray(labels)[2, 2, 2]) == want
+        assert int(np.asarray(labels)[2, 2, 3]) == want
         assert not np.asarray(reached).any()
+        # a higher-z component gets a SMALLER label than a lower-z one
+        occ2 = np.zeros((8, 8, 8), bool)
+        occ2[1, 1, 1] = True   # low z
+        occ2[6, 6, 6] = True   # high z (separate component)
+        labels2, _, _, _ = label_components_seeded(
+            jnp.asarray(occ2), jnp.zeros_like(jnp.asarray(occ2)), 3.0, 16
+        )
+        assert int(np.asarray(labels2)[6, 6, 6]) < int(np.asarray(labels2)[1, 1, 1])

@@ -115,8 +115,11 @@ class VoFODConfig:
     # side of the cubic submap used for the detection confidence score
     # (AABB + 2 voxel inflation; ref: vofod_nodelet.cpp:851-867)
     confidence_submap: int = 16
-    # max label-propagation sweeps for connected components (safety bound for
-    # the while_loop; with pointer jumping convergence is ~O(log diameter))
+    # fixed label-propagation sweep count for clustering: components up to
+    # ~cc_sweeps * ground_points_max_distance across resolve exactly (see
+    # ops/components.py rationale); also the while_loop cap for the other
+    # reachability loops
+    cc_sweeps: int = 8
     max_cc_iters: int = 64
 
     # static upper bound on raycast/max_distance (sizes the exact-DDA step

@@ -38,6 +38,7 @@ class BackgroundOut(NamedTuple):
     n_bg_voxels: Array
     bg_sufficient: Array
     cc_converged: Array
+    cc_iters: Array
 
 
 def split_and_update(
@@ -54,8 +55,8 @@ def split_and_update(
     occupied = counts > 0
     bg_near = ball_pool_max(bg_mask.astype(jnp.int32), radius, fill=0) > 0
     seed = occupied & bg_near
-    labels, close, cc_converged = label_components_seeded(
-        occupied, seed, radius, cfg.max_cc_iters
+    labels, close, cc_converged, cc_iters = label_components_seeded(
+        occupied, seed, radius, cfg.cc_sweeps
     )
     far = occupied & ~close
 
@@ -73,4 +74,5 @@ def split_and_update(
         n_bg_voxels=n_bg,
         bg_sufficient=bg_sufficient,
         cc_converged=cc_converged,
+        cc_iters=cc_iters,
     )

@@ -80,5 +80,6 @@ class StepDiagnostics(NamedTuple):
     n_far: Array  # int32 — far (non-background) voxels this scan
     far_overflow: Array  # bool — far voxels exceeded static capacity
     cc_converged: Array  # bool — clustering fixpoint reached within cap
+    cc_iters: Array  # int32 — label-propagation sweeps this scan
     sep_converged: Array  # bool — sepclusters reachability converged
     n_detections: Array  # int32

@@ -224,6 +224,7 @@ def make_step_fn(
             n_far=cls.n_far,
             far_overflow=cls.far_overflow,
             cc_converged=bg.cc_converged & cls.labels_converged,
+            cc_iters=bg.cc_iters,
             sep_converged=sep_conv,
             n_detections=dets.valid.sum().astype(jnp.int32),
         )
