@@ -116,7 +116,7 @@ def label_components_seeded(
         pooled = ball_pool_min(keys, radius)
         return jnp.where(occ, jnp.minimum(keys, pooled), SENTINEL)
 
-    keys = jax.lax.fori_loop(0, max_iters, body, keys, unroll=2)
+    keys = jax.lax.fori_loop(0, max_iters, body, keys, unroll=4)
     # one extra sweep for the convergence diagnostic
     last = jnp.where(occ, jnp.minimum(keys, ball_pool_min(keys, radius)), SENTINEL)
     converged = jnp.all(last == keys)

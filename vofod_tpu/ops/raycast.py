@@ -191,7 +191,11 @@ def _sweep_one_axis(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) ->
         return carry_new, t_in
 
     init = jnp.ones((2, nA, nB), jnp.float32)
-    _, t = lax.scan(step, init, (opaq_sc.astype(jnp.float32), rel_s))
+    # unroll: each device-loop iteration advances several planes — the scan
+    # is overhead-bound (tiny per-plane stencils), measured ~2x faster
+    _, t = lax.scan(
+        step, init, (opaq_sc.astype(jnp.float32), rel_s), unroll=8
+    )
     return t
 
 

@@ -15,9 +15,14 @@ import jax.numpy as jnp
 from vofod_tpu.config import VoFODConfig
 from vofod_tpu.geometry import GridSpec, box_mask, se3_apply
 from vofod_tpu.ops.binning import bin_points
+from vofod_tpu.ops.compaction import masked_compact
 from vofod_tpu.sensor import RANGE_TO_METERS
 
 Array = jnp.ndarray
+
+# capacity for compacted own-airframe returns (a real airframe subtends a
+# few thousand pixels at most)
+_MAX_EXCLUDE_HITS = 4096
 
 
 class FrontendOut(NamedTuple):
@@ -26,6 +31,7 @@ class FrontendOut(NamedTuple):
     #                  including own-airframe hits that truncate rays
     #                  (ref raycast uses raw ranges, vofod_nodelet.cpp:1455)
     n_valid_points: Array  # int32 — points surviving the filters
+    n_exclude_hits: Array  # int32 — own-airframe returns (cap overflow check)
 
 
 def run_frontend(
@@ -49,14 +55,33 @@ def run_frontend(
     in_oparea = box_mask(pts_world, cfg.oparea.lo, cfg.oparea.hi)
 
     valid = has_return & ~in_exclude & in_oparea
-    # raycast opacity: any return inside the grid (airframe hits included,
-    # they truncate rays in the reference too).  Two separate flat scatters
-    # measure faster than one 2-channel scatter + channel transpose on v5e.
-    blocker_valid = has_return & in_oparea
     counts = bin_points(grid, pts_world, valid)
-    blockers = bin_points(grid, pts_world, blocker_valid) > 0
+
+    # raycast opacity: any return inside the grid (airframe hits included —
+    # they truncate rays in the reference too, :1455).  Blockers differ from
+    # the filtered counts only by the exclude-box (own airframe) hits, which
+    # are few: compact them and scatter the short list instead of paying a
+    # second full-scan scatter (~1 ms).  Overflow beyond the cap only
+    # over-clears behind the airframe (flagged via n_exclude_hits).
+    excl = has_return & in_oparea & in_exclude
+    eids, evalid, etotal = masked_compact(excl, _MAX_EXCLUDE_HITS)
+    epts = pts_world[eids]
+    ix, iy, iz = grid.coord_to_idx(epts)
+    fid = grid.flat_id(
+        jnp.clip(ix, 0, grid.nx - 1),
+        jnp.clip(iy, 0, grid.ny - 1),
+        jnp.clip(iz, 0, grid.nz - 1),
+    )
+    excl_counts = (
+        jnp.zeros((grid.n_voxels,), jnp.int32)
+        .at[jnp.where(evalid, fid, grid.n_voxels)]
+        .add(1, mode="drop")
+        .reshape(grid.shape)
+    )
+    blockers = (counts > 0) | (excl_counts > 0)
     return FrontendOut(
         counts=counts,
         blockers=blockers,
         n_valid_points=valid.sum().astype(jnp.int32),
+        n_exclude_hits=etotal,
     )
