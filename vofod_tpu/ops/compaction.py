@@ -10,17 +10,18 @@ Why not top_k / sort / scatter?  Measured on v5e: ``lax.top_k`` over 2.5M is
 ~24 ms and large scatters serialize at ~8 ns/update.  Instead we do:
 
 1. a dense block-count + running sum along the last axis (vectorized),
-2. an exclusive scan over ~5k block totals (tiny),
-3. per output slot, a two-level binary search (block, then position inside the
-   block's running sum) — ``capacity * (log nblocks + log blocksize)``
-   single-element gathers, microseconds for capacity ≤ 1k.
+2. an exclusive scan over ~2.5k block totals (tiny),
+3. per output slot, a dense rank over block starts ([capacity, nblocks]
+   compare+sum — pure VPU) and a contiguous row-gather of the chosen blocks'
+   running sums + dense rank for the in-block position.  Scalar-gather binary
+   searches here measured ~10x slower (~1.5 ms/step across the pipeline's
+   three compactions on v5e).
 
-Everything is O(N) dense work plus O(capacity log N) tiny gathers.
+Everything is O(N + capacity*(nblocks+blocksize)) dense work plus one
+row-gather of ``capacity`` contiguous 1k slices.
 """
 
 from __future__ import annotations
-
-import math
 
 import jax
 import jax.numpy as jnp
@@ -59,37 +60,21 @@ def masked_compact(mask: Array, capacity: int) -> tuple[Array, Array, Array]:
 
     q = jnp.arange(capacity, dtype=jnp.int32)
 
-    # block containing the q-th set element: last block with bstart <= q
-    # (binary search over the monotone bstart array)
-    def find_block(qi):
-        def body(state, _):
-            lo, hi = state  # invariant: bstart[lo] <= qi < bstart[hi] (hi excl)
-            mid = (lo + hi) // 2
-            go_right = bstart[mid] <= qi
-            return (jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)), None
-
-        steps = max(1, int(math.ceil(math.log2(max(nb, 2)))) + 1)
-        (lo, _), _ = jax.lax.scan(body, (jnp.int32(0), jnp.int32(nb)), None, length=steps)
-        return lo
-
-    blk = jax.vmap(find_block)(q)  # [capacity]
+    # block containing the q-th set element: last block with bstart <= q.
+    # Dense vectorized rank instead of a binary search: [capacity, nb]
+    # compare + row-sum is pure VPU work (scalar-gather search loops measure
+    # ~10x slower on v5e).
+    blk = (
+        jnp.sum(bstart[None, :] <= q[:, None], axis=1).astype(jnp.int32) - 1
+    )
+    blk = jnp.maximum(blk, 0)
     local_rank = q - bstart[blk]  # 0-based rank inside block
 
-    # position inside the block: first column with run[blk, col] == rank+1
-    def find_pos(b, r):
-        def body(state, _):
-            lo, hi = state
-            mid = (lo + hi) // 2
-            go_right = run[b, mid] <= r  # want first col with run > r
-            return (jnp.where(go_right, mid + 1, lo), jnp.where(go_right, hi, mid)), None
-
-        steps = max(1, int(math.ceil(math.log2(_BLOCK))) + 1)
-        (lo, _), _ = jax.lax.scan(
-            body, (jnp.int32(0), jnp.int32(_BLOCK)), None, length=steps
-        )
-        return lo
-
-    pos = jax.vmap(find_pos)(blk, local_rank)
+    # position inside the block: first column with run > rank.  Row-gather of
+    # the needed blocks (contiguous 1024-slices, embedding-lookup shape the
+    # TPU handles well) + dense count.
+    rows = run[blk]  # [capacity, _BLOCK]
+    pos = jnp.sum(rows <= local_rank[:, None], axis=1).astype(jnp.int32)
     ids = blk * _BLOCK + pos
     valid = q < total
     ids = jnp.where(valid, jnp.minimum(ids, n - 1), 0).astype(jnp.int32)

@@ -123,23 +123,26 @@ def raycast_dda(
 # =============================================================================
 
 
-def _sweep_one_axis(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Array:
-    """Transmittance sweep along the leading axis (away from the sensor).
+def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Array:
+    """Transmittance sweep for C cones batched into ONE scan.
 
-    The forward and backward cones of an axis are batched into one scan
-    (dim 1 of size 2) — half the sequential steps, which dominate the cost.
+    The sequential plane steps dominate the cost, so as many cones as share
+    a (padded) plane shape ride one scan: both directions of an axis, and
+    whole axes padded to a common lateral shape.
 
     Args:
-      opaq_sc: [nS, 2, nA, nB] opacity (1 = blocked), sweep axis leading,
-        each cone oriented so the sensor sits before plane 0.
-      rel_s: [nS, 2] voxel-center offsets from the sensor along the sweep
-        axis (monotonically increasing; positive past the sensor).
-      rel_a: [nA], rel_b: [nB] lateral voxel-center offsets from the sensor.
+      opaq_sc: [nS, C, nA, nB] opacity (1 = blocked), sweep axis leading,
+        every cone oriented so the sensor sits before plane 0.  Cones whose
+        true axis is shorter than nS are padded with transparent planes.
+      rel_s: [nS, C] voxel-center offsets from the sensor along each cone's
+        sweep axis (monotonically increasing; positive past the sensor).
+      rel_a: [C, nA], rel_b: [C, nB] lateral offsets per cone (padding
+        values are arbitrary finite numbers — callers discard those lanes).
 
-    Returns: [nS, 2, nA, nB] transmittance T arriving at each voxel (valid
-      only inside this axis' cone — the caller masks).
+    Returns: [nS, C, nA, nB] transmittance T arriving at each voxel (valid
+      only inside each cone — the caller masks).
     """
-    nA, nB = opaq_sc.shape[2], opaq_sc.shape[3]
+    C, nA, nB = opaq_sc.shape[1], opaq_sc.shape[2], opaq_sc.shape[3]
 
     def shifted(p, d, axis):
         """out[..i..] = p[..i+d..] along `axis`, 1.0 outside."""
@@ -155,21 +158,18 @@ def _sweep_one_axis(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) ->
         return jnp.concatenate([fill, sl], axis=axis)
 
     def step(carry, inp):
-        opaq_plane, rs = inp  # [2, nA, nB], [2]
-        rs_safe = jnp.where(jnp.abs(rs) < 0.5, 0.5, rs)  # [2]
+        opaq_plane, rs = inp  # [C, nA, nB], [C]
+        rs_safe = jnp.where(jnp.abs(rs) < 0.5, 0.5, rs)  # [C]
         # parent sample coordinate per lateral axis (separable per cone)
-        fa = -rel_a[None, :] / rs_safe[:, None]  # [2, nA]
-        fb = -rel_b[None, :] / rs_safe[:, None]  # [2, nB]
-        fa = jnp.clip(fa, -1.0, 1.0)
-        fb = jnp.clip(fb, -1.0, 1.0)
+        fa = jnp.clip(-rel_a / rs_safe[:, None], -1.0, 1.0)  # [C, nA]
+        fb = jnp.clip(-rel_b / rs_safe[:, None], -1.0, 1.0)  # [C, nB]
 
         # lateral interpolation: tmp[c,a,b] = sum_j w[c,b,j] carry[c,a,b+j]
         def lerp_axis(p, f, axis):
-            # f: [2, n_axis]; broadcast to [2, nA or 1, nB or 1]
             lo = jnp.floor(f)
             frac = f - lo
             lo = lo.astype(jnp.int32)  # in {-1, 0, 1}
-            shape = [2, 1, 1]
+            shape = [C, 1, 1]
             shape[axis + 1] = f.shape[1]
             lo = lo.reshape(shape)
             frac = frac.reshape(shape)
@@ -190,9 +190,9 @@ def _sweep_one_axis(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) ->
         carry_new = t_in * (1.0 - opaq_plane)
         return carry_new, t_in
 
-    init = jnp.ones((2, nA, nB), jnp.float32)
+    init = jnp.ones((C, nA, nB), jnp.float32)
     # unroll: each device-loop iteration advances several planes — the scan
-    # is overhead-bound (tiny per-plane stencils), measured ~2x faster
+    # is overhead-bound (tiny per-plane stencils)
     _, t = lax.scan(
         step, init, (opaq_sc.astype(jnp.float32), rel_s), unroll=8
     )
@@ -238,25 +238,68 @@ def raycast_sweep(
 
     op = opaque.astype(jnp.float32)
 
-    # --- six cone sweeps (fwd/bwd batched per axis) ---------------------------
-    # grid layout is (z, y, x); move the sweep axis to the front each time
-    def sweep_pair(op_moved, rs, ra, rb):
-        stacked = jnp.stack([op_moved, op_moved[::-1]], axis=1)  # [nS, 2, A, B]
-        rs2 = jnp.stack([rs, (-rs)[::-1]], axis=1)  # [nS, 2]
-        t = _sweep_one_axis(stacked, rs2, ra, rb)
-        return t[:, 0], t[::-1, 1]
+    # --- six cone sweeps, grouped to minimize sequential steps ----------------
+    # grid layout is (z, y, x).  The x± and y± cones share one 4-wide scan
+    # over max(nx, ny) steps with lateral planes padded to a common shape;
+    # z± ride a second 2-wide scan of nz steps.  Sequential plane steps are
+    # the dominant cost (measured): nx+nz vs 2*(nx+ny+nz) of naive sweeps.
+    def _pad_tail(a, axis, n, value):
+        if a.shape[axis] >= n:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis] = (0, n - a.shape[axis])
+        return jnp.pad(a, widths, constant_values=value)
 
+    def _extend_rel(rel, n):
+        k = n - rel.shape[0]
+        if k <= 0:
+            return rel
+        tail = rel[-1] + jnp.arange(1, k + 1, dtype=rel.dtype)
+        return jnp.concatenate([rel, tail])
+
+    ns_a = max(nx, ny)
+    pb = max(nx, ny)
     op_x = jnp.moveaxis(op, 2, 0)  # [nx, nz, ny]
-    tx_f, tx_b = sweep_pair(op_x, rel_x, rel_z, rel_y)
-    tx_f = jnp.moveaxis(tx_f, 0, 2)
-    tx_b = jnp.moveaxis(tx_b, 0, 2)
-
     op_y = jnp.moveaxis(op, 1, 0)  # [ny, nz, nx]
-    ty_f, ty_b = sweep_pair(op_y, rel_y, rel_z, rel_x)
-    ty_f = jnp.moveaxis(ty_f, 0, 1)
-    ty_b = jnp.moveaxis(ty_b, 0, 1)
+    planes_a = jnp.stack(
+        [
+            _pad_tail(_pad_tail(op_x, 2, pb, 0.0), 0, ns_a, 0.0),
+            _pad_tail(_pad_tail(op_x[::-1], 2, pb, 0.0), 0, ns_a, 0.0),
+            _pad_tail(_pad_tail(op_y, 2, pb, 0.0), 0, ns_a, 0.0),
+            _pad_tail(_pad_tail(op_y[::-1], 2, pb, 0.0), 0, ns_a, 0.0),
+        ],
+        axis=1,
+    )  # [ns_a, 4, nz, pb]
+    rs_a = jnp.stack(
+        [
+            _extend_rel(rel_x, ns_a),
+            _extend_rel(-rel_x[::-1], ns_a),
+            _extend_rel(rel_y, ns_a),
+            _extend_rel(-rel_y[::-1], ns_a),
+        ],
+        axis=1,
+    )  # [ns_a, 4]
+    ra_a = jnp.broadcast_to(rel_z[None, :], (4, nz))
+    rb_a = jnp.stack(
+        [
+            _extend_rel(rel_y, pb),
+            _extend_rel(rel_y, pb),
+            _extend_rel(rel_x, pb),
+            _extend_rel(rel_x, pb),
+        ]
+    )  # [4, pb]
+    t_a = _sweep_cones(planes_a, rs_a, ra_a, rb_a)
+    tx_f = jnp.moveaxis(t_a[:nx, 0, :, :ny], 0, 2)  # -> (nz, ny, nx)
+    tx_b = jnp.moveaxis(t_a[:nx, 1, :, :ny][::-1], 0, 2)
+    ty_f = jnp.moveaxis(t_a[:ny, 2, :, :nx], 0, 1)  # -> (nz, ny, nx)
+    ty_b = jnp.moveaxis(t_a[:ny, 3, :, :nx][::-1], 0, 1)
 
-    tz_f, tz_b = sweep_pair(op, rel_z, rel_y, rel_x)  # z already leading
+    planes_z = jnp.stack([op, op[::-1]], axis=1)  # [nz, 2, ny, nx]
+    rs_z = jnp.stack([rel_z, -rel_z[::-1]], axis=1)
+    ra_z = jnp.broadcast_to(rel_y[None, :], (2, ny))
+    rb_z = jnp.broadcast_to(rel_x[None, :], (2, nx))
+    t_z = _sweep_cones(planes_z, rs_z, ra_z, rb_z)
+    tz_f, tz_b = t_z[:, 0], t_z[::-1, 1]
 
     # --- cone partition (priority x > y > z on ties) --------------------------
     ax = jnp.abs(rel_x)[None, None, :]
