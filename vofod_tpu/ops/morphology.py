@@ -162,6 +162,18 @@ def ball_pool_min_naive(a: Array, radius: float, fill=None) -> Array:
     return out
 
 
+def is_floating(grid_vals: Array, threshold) -> Array:
+    """Per-voxel 26-neighborhood emptiness: True where no voxel in the 3x3x3
+    neighborhood (self included) exceeds ``threshold``; always False on the
+    grid border (ref VoxelMap::isFloatingIdx, src/voxel_map.cpp:491-516)."""
+    over = (grid_vals > threshold).astype(jnp.int32)
+    near = _ball_pool(over, 1.8, jnp.maximum, 0) > 0  # ball(1.8) = full cube
+    out = ~near
+    border = jnp.zeros_like(out)
+    border = border.at[1:-1, 1:-1, 1:-1].set(out[1:-1, 1:-1, 1:-1])
+    return border
+
+
 def dilate6(mask: Array) -> Array:
     """One step of 6-neighborhood (face-adjacent) binary dilation — the BFS
     expansion step of the reference's exploreToGround DFS

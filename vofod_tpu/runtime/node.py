@@ -218,6 +218,18 @@ class VoFOD:
         """The ~reset service (ref reset_callback :566-572)."""
         self.state = init_state(self.cfg, self.dyn)
 
+    # ------------------------------------------------------------------ replay
+    def replay(self, npz_path: str, intensity=None) -> list[Detections]:
+        """Run a recorded scan sequence (the rosbag-replay analogue,
+        SURVEY.md §4; fixtures written by io.scan_source.save_scans_npz)."""
+        from vofod_tpu.io.scan_source import load_scans_npz
+
+        ranges, poses, stamps = load_scans_npz(npz_path)
+        out = []
+        for r, p, t in zip(ranges, poses, stamps):
+            out.append(self.process_scan(r, intensity, p, float(t)))
+        return out
+
     # ----------------------------------------------------------- checkpointing
     def save_snapshot(self, path: str):
         """NPZ snapshot of the full detector state (the reference has no map
