@@ -29,6 +29,7 @@ from vofod_tpu.config import DynParams, VoFODConfig
 from vofod_tpu.geometry import GridSpec
 from vofod_tpu.ops.compaction import masked_compact
 from vofod_tpu.ops.components import SENTINEL
+from vofod_tpu.ops.eigh3 import eigh3
 from vofod_tpu.ops.explore import apply_demotions, explore_to_ground
 
 Array = jnp.ndarray
@@ -108,7 +109,7 @@ def classify(
     dm = jnp.where(mvalid, d, 0.0)
     cov = jnp.einsum("fki,fkj->kij", dm, dm) / denom[:, None, None]
     cov = cov + 1e-6 * jnp.eye(3)[None]
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending; evecs columns
+    evals, evecs = eigh3(cov)  # ascending; evecs columns (closed form)
     # major/middle/minor ordering, right-handed (PCL MoI convention)
     axes_cols = jnp.flip(evecs, axis=-1)  # columns: major, middle, minor
     major, middle = axes_cols[:, :, 0], axes_cols[:, :, 1]
