@@ -88,6 +88,30 @@ class TestSweep:
         # other directions unaffected
         assert raylen[8, 16, 8] > 0
 
+    def test_sweep_tracks_dda_off_center_with_blockers(self):
+        """Off-center sensor + a blocking box: shadow and totals agree."""
+        grid, lut, _ = self._setup()
+        origin = np.array([-3.5, 2.5, 1.0], np.float32)
+        opaque = np.zeros(grid.shape, bool)
+        opaque[4:10, 24:28, 20:24] = True  # box north-east of the sensor
+        kw = dict(max_distance=jnp.float32(20.0),
+                  vertical_fov=np.deg2rad(90.0), v_rays=32, h_rays=256)
+        raylen = np.asarray(raycast_sweep(
+            grid, jnp.asarray(opaque), jnp.asarray(origin), jnp.eye(3), **kw))
+        # deep-shadow voxel behind the box center (sensor at idx ~(10,21,9)):
+        # strongly attenuated vs a lit voxel at similar range (the sweep's
+        # bilinear diffusion leaves soft ~1-voxel penumbra edges by design)
+        lit = raylen[7, 22, 17]
+        shadow = raylen[5, 27, 28]
+        assert lit > 0
+        assert shadow < 0.05 * lit
+        # a rotated sensor frame changes only the density term, not the
+        # transmittance topology
+        R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
+        raylen_rot = np.asarray(raycast_sweep(
+            grid, jnp.asarray(opaque), jnp.asarray(origin), jnp.asarray(R), **kw))
+        assert raylen_rot[5, 27, 28] < 0.05 * raylen_rot[7, 22, 17]
+
     def test_sweep_tracks_dda_in_open_space(self):
         """In an empty scene the sweep field should match the DDA field to
         ~tens of percent (ray-count quantization) wherever ray coverage is

@@ -101,6 +101,17 @@ class VoFOD:
         with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
             self.state, out = self._step(self.state, scan, self.dyn)
         self.last_diag = jax.device_get(out.diag)
+        # the fused step subsumes the reference's raycast and sepclusters
+        # threads; emit their START/END markers so downstream ProfilingInfo
+        # consumers see the same routine stream (ref :2178-2203)
+        if self.options.raycast_mode != "off" and not self.dyn.raycast_pause:
+            with self.profiling.routine(ProfilingInfo.ROUTINE_RAYCASTING):
+                pass
+        if int(self.state.step) % self.cfg.sepclusters_every == 1 % max(
+            self.cfg.sepclusters_every, 1
+        ) or self.cfg.sepclusters_every == 1:
+            with self.profiling.routine(ProfilingInfo.ROUTINE_SEPBGCLUSTERS):
+                pass
         return self._to_msg(out.detections, stamp)
 
     def _to_msg(self, dets, stamp: float) -> Detections:
