@@ -69,21 +69,35 @@ class VoFOD:
         self._rangefinder_update = jax.jit(self._make_rangefinder_update())
         self.state: VoFODState = init_state(self.cfg, self.dyn)
         self._apriori_loaded = False
+        self._sensor_checked = False
+        self._sensor_params_ok = True
         self.last_diag = None
 
     # ------------------------------------------------------------------ scans
     def process_scan(
         self, ranges_mm: np.ndarray, intensity: np.ndarray | None, pose: np.ndarray,
-        stamp: float = 0.0,
+        stamp: float = 0.0, points_xyz: np.ndarray | None = None,
     ) -> Detections:
         """Run one scan through the pipeline.
 
         ranges_mm: [H*W] or [H, W] uint32/float (0 = no return).
         intensity: same shape (None = all ones).
         pose: [4, 4] world_T_sensor.
+        points_xyz: optional sensor-frame points for the one-time LUT
+          consistency check (ref check_sensor_params, gated like
+          sensor/check_consistency; vofod_nodelet.cpp:903-904).
         """
         n = self.cfg.sensor.n_points
         r = np.asarray(ranges_mm).reshape(-1)
+        if (
+            self.options.check_consistency
+            and not self._sensor_checked
+            and points_xyz is not None
+        ):
+            self._sensor_params_ok = self.check_scan_consistency(
+                np.asarray(points_xyz).reshape(-1, 3), r
+            )
+            self._sensor_checked = True
         if r.shape[0] != n:
             raise ValueError(
                 f"unexpected scan size {r.shape[0]}, expected {n} "
