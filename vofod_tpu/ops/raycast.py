@@ -157,36 +157,43 @@ def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Ar
         fill = jnp.ones_like(lax.slice_in_dim(p, 0, -d, axis=axis))
         return jnp.concatenate([fill, sl], axis=axis)
 
-    def step(carry, inp):
-        opaq_plane, rs = inp  # [C, nA, nB], [C]
-        rs_safe = jnp.where(jnp.abs(rs) < 0.5, 0.5, rs)  # [C]
-        # parent sample coordinate per lateral axis (separable per cone)
-        fa = jnp.clip(-rel_a / rs_safe[:, None], -1.0, 1.0)  # [C, nA]
-        fb = jnp.clip(-rel_b / rs_safe[:, None], -1.0, 1.0)  # [C, nB]
+    # Interpolation weights depend only on (plane, cone, lateral index):
+    # precompute all of them vectorized, so the scan body is pure fma.
+    def tap_weights(rel_lat, n_lat):
+        rs_safe = jnp.where(jnp.abs(rel_s) < 0.5, 0.5, rel_s)  # [nS, C]
+        f = jnp.clip(
+            -rel_lat[None, :, :] / rs_safe[:, :, None], -1.0, 1.0
+        )  # [nS, C, n_lat]
+        lo = jnp.floor(f)
+        frac = f - lo
+        lo = lo.astype(jnp.int32)  # in {-1, 0, 1}
+        w_m1 = jnp.where(lo == -1, 1.0 - frac, 0.0)
+        w_0 = jnp.where(lo == -1, frac, 0.0) + jnp.where(lo == 0, 1.0 - frac, 0.0)
+        w_p1 = jnp.where(lo == 0, frac, 0.0) + jnp.where(lo == 1, 1.0 - frac, 0.0)
+        w_p2 = jnp.where(lo == 1, frac, 0.0)
+        return jnp.stack([w_m1, w_0, w_p1, w_p2], axis=-1)  # [nS, C, n, 4]
 
-        # lateral interpolation: tmp[c,a,b] = sum_j w[c,b,j] carry[c,a,b+j]
-        def lerp_axis(p, f, axis):
-            lo = jnp.floor(f)
-            frac = f - lo
-            lo = lo.astype(jnp.int32)  # in {-1, 0, 1}
-            shape = [C, 1, 1]
-            shape[axis + 1] = f.shape[1]
-            lo = lo.reshape(shape)
-            frac = frac.reshape(shape)
-            w_m1 = jnp.where(lo == -1, 1.0 - frac, 0.0)
-            w_0 = jnp.where(lo == -1, frac, 0.0) + jnp.where(lo == 0, 1.0 - frac, 0.0)
-            w_p1 = jnp.where(lo == 0, frac, 0.0) + jnp.where(lo == 1, 1.0 - frac, 0.0)
-            w_p2 = jnp.where(lo == 1, frac, 0.0)
+    wa = tap_weights(rel_a, nA)  # [nS, C, nA, 4]
+    wb = tap_weights(rel_b, nB)  # [nS, C, nB, 4]
+    seed = (rel_s <= 1.0)[:, :, None, None]  # [nS, C, 1, 1]
+
+    def step(carry, inp):
+        opaq_plane, wa_p, wb_p, seed_p = inp
+
+        def lerp(p, w, axis):
+            shape = [C, 1, 1, 4]
+            shape[axis + 1] = w.shape[1]
+            w = w.reshape(shape)
             return (
-                w_m1 * shifted(p, -1, axis + 1)
-                + w_0 * p
-                + w_p1 * shifted(p, 1, axis + 1)
-                + w_p2 * shifted(p, 2, axis + 1)
+                w[..., 0] * shifted(p, -1, axis + 1)
+                + w[..., 1] * p
+                + w[..., 2] * shifted(p, 1, axis + 1)
+                + w[..., 3] * shifted(p, 2, axis + 1)
             )
 
-        t_in = lerp_axis(lerp_axis(carry, fb, 1), fa, 0)
+        t_in = lerp(lerp(carry, wb_p, 1), wa_p, 0)
         # seed: the first plane at/after the sensor starts fully lit
-        t_in = jnp.where((rs <= 1.0)[:, None, None], 1.0, t_in)
+        t_in = jnp.where(seed_p, 1.0, t_in)
         carry_new = t_in * (1.0 - opaq_plane)
         return carry_new, t_in
 
@@ -194,7 +201,7 @@ def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Ar
     # unroll: each device-loop iteration advances several planes — the scan
     # is overhead-bound (tiny per-plane stencils)
     _, t = lax.scan(
-        step, init, (opaq_sc.astype(jnp.float32), rel_s), unroll=8
+        step, init, (opaq_sc.astype(jnp.float32), wa, wb, seed), unroll=8
     )
     return t
 

@@ -9,6 +9,8 @@ checkpointing and profiling events.
 
 from __future__ import annotations
 
+import logging
+import time
 from dataclasses import dataclass
 
 import jax
@@ -72,6 +74,8 @@ class VoFOD:
         self._sensor_checked = False
         self._sensor_params_ok = True
         self.last_diag = None
+        self._log = logging.getLogger("vofod_tpu")
+        self._last_log = 0.0
 
     # ------------------------------------------------------------------ scans
     def process_scan(
@@ -115,6 +119,7 @@ class VoFOD:
         with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
             self.state, out = self._step(self.state, scan, self.dyn)
         self.last_diag = jax.device_get(out.diag)
+        self._log_throttled()
         # the fused step subsumes the reference's raycast and sepclusters
         # threads; emit their START/END markers so downstream ProfilingInfo
         # consumers see the same routine stream (ref :2178-2203)
@@ -127,6 +132,28 @@ class VoFOD:
             with self.profiling.routine(ProfilingInfo.ROUTINE_SEPBGCLUSTERS):
                 pass
         return self._to_msg(out.detections, stamp)
+
+    def _log_throttled(self):
+        """Throttled status logging (the reference logs per scan with
+        NODELET_INFO_THROTTLE at throttle_period; e.g. vofod_nodelet.cpp:987,
+        1094-1095)."""
+        now = time.time()
+        if now - self._last_log < self.options.throttle_period:
+            return
+        self._last_log = now
+        d = self.last_diag
+        self._log.info(
+            "step=%d dets=%d occ=%d far=%d bg=%d active=%s cc_ok=%s",
+            int(self.state.step), int(d.n_detections), int(d.n_occupied),
+            int(d.n_far), int(d.n_bg_voxels),
+            bool(d.bg_sufficient and d.sure_bg_sufficient),
+            bool(d.cc_converged),
+        )
+        if not d.bg_sufficient:
+            self._log.warning(
+                "insufficient background (%d voxels) — classification inactive",
+                int(d.n_bg_voxels),
+            )  # ref :724
 
     def _to_msg(self, dets, stamp: float) -> Detections:
         d = jax.device_get(dets)

@@ -47,6 +47,8 @@ class StreamRunner:
         on_status: Callable[[Status], None] | None = None,
         status_period_s: float = 0.1,  # ref 10 Hz status loop (:1331)
         poll_s: float = 0.0005,
+        no_message_timeout_s: float = 5.0,  # ref subscriber timeout (:245)
+        on_warning: Callable[[str], None] | None = None,
     ):
         self.node = node
         self.queue = queue or ScanQueue(node.cfg.sensor.n_points, capacity=4)
@@ -54,6 +56,8 @@ class StreamRunner:
         self.on_status = on_status
         self.status_period_s = status_period_s
         self.poll_s = poll_s
+        self.no_message_timeout_s = no_message_timeout_s
+        self.on_warning = on_warning
         self.stats = StreamStats()
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
@@ -86,11 +90,24 @@ class StreamRunner:
     def _loop(self):
         last_status = 0.0
         t_prev = None
+        last_msg = time.time()
+        warned = False
         while not self._stop.is_set():
             item = self.queue.pop()
             if item is None:
                 time.sleep(self.poll_s)
+                if (
+                    not warned
+                    and self.on_warning is not None
+                    and time.time() - last_msg > self.no_message_timeout_s
+                ):
+                    warned = True
+                    self.on_warning(
+                        f"no scans for {self.no_message_timeout_s:.0f}s"
+                    )
             else:
+                last_msg = time.time()
+                warned = False
                 ranges, pose = item
                 msg = self.node.process_scan(ranges, None, pose, time.time())
                 self.stats.processed += 1
