@@ -37,7 +37,6 @@ Two TPU implementations:
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -16,8 +16,6 @@ The reference's concurrency is threads over one shared map on one machine
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -25,7 +23,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from vofod_tpu.config import DynParams, VoFODConfig
-from vofod_tpu.pipeline.state import ScanInput, VoFODState, init_state
+from vofod_tpu.pipeline.state import VoFODState, init_state
 from vofod_tpu.pipeline.step import make_step_fn
 from vofod_tpu.sensor import XyzLut
 

@@ -22,7 +22,7 @@ from vofod_tpu.geometry import GridSpec
 from vofod_tpu.io.msgs import Detection, Detections, Header, ProfilingInfo, Status
 from vofod_tpu.pipeline.state import ScanInput, VoFODState, init_state
 from vofod_tpu.pipeline.step import make_step_fn
-from vofod_tpu.runtime.profiling import ProfilingStream, ScopeTimer
+from vofod_tpu.runtime.profiling import ProfilingStream
 from vofod_tpu.sensor import XyzLut, make_lut
 
 
