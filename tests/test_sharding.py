@@ -10,6 +10,8 @@ from vofod_tpu.io.scan_source import Scene, hover_pose, render_scan
 from vofod_tpu.ops.morphology import ball_pool_min
 from vofod_tpu.parallel.sharding import (
     halo_ball_pool_min,
+    halo_ball_pool_sum,
+    halo_propagate_reach,
     init_batched_state,
     make_batched_step,
     make_mesh,
@@ -70,4 +72,29 @@ class TestGridSharding:
         a = rng.integers(0, 10_000, size=(64, 24, 24)).astype(np.int32)
         got = np.asarray(halo_ball_pool_min(jnp.asarray(a), radius, mesh))
         want = np.asarray(ball_pool_min(jnp.asarray(a), radius))
+        np.testing.assert_array_equal(got, want)
+
+    def test_halo_sum_matches_unsharded(self, rng):
+        from vofod_tpu.ops.morphology import ball_pool_sum
+
+        mesh = make_mesh(8)
+        a = (rng.random((64, 16, 16)) < 0.2).astype(np.int32)
+        got = np.asarray(halo_ball_pool_sum(jnp.asarray(a), 2.0, mesh))
+        want = np.asarray(ball_pool_sum(jnp.asarray(a), 2.0))
+        np.testing.assert_array_equal(got, want)
+
+    def test_halo_propagate_matches_unsharded(self, rng):
+        from vofod_tpu.ops.components import propagate_reach
+
+        mesh = make_mesh(8)
+        occ = rng.random((32, 16, 16)) < 0.12
+        seed = (rng.random((32, 16, 16)) < 0.02) & occ
+        got = np.asarray(
+            halo_propagate_reach(
+                jnp.asarray(occ), jnp.asarray(seed), 3.0, 10, mesh
+            )
+        )
+        want = np.asarray(
+            propagate_reach(jnp.asarray(occ), jnp.asarray(seed), 3.0, 64)[0]
+        )
         np.testing.assert_array_equal(got, want)

@@ -83,42 +83,74 @@ def make_batched_step(
 # =============================================================================
 
 
-def halo_ball_pool_min(
-    grid: jnp.ndarray, radius: float, mesh: Mesh, axis: str = "data"
-) -> jnp.ndarray:
-    """Ball min-pool over a grid sharded along Z, halos exchanged over ICI.
+def _halo_pool(grid: jnp.ndarray, radius: float, mesh: Mesh, axis: str, op: str):
+    """Ball pool over a grid sharded along Z, halos exchanged over ICI.
 
     Each shard sends its boundary slabs of thickness r to the neighbors with
     jax.lax.ppermute, pads, pools locally, and crops — numerically identical
-    to the unsharded ball_pool_min.
+    to the unsharded pools in ops/morphology.py.
     """
     import math
 
-    from vofod_tpu.ops.morphology import ball_pool_min
+    from vofod_tpu.ops.morphology import (
+        ball_pool_max,
+        ball_pool_min,
+        ball_pool_sum,
+    )
 
+    pools = {"min": ball_pool_min, "max": ball_pool_max, "sum": ball_pool_sum}
+    fills = {
+        "min": _fill_for(grid.dtype, True),
+        "max": _fill_for(grid.dtype, False),
+        "sum": 0,
+    }
+    pool, fill = pools[op], fills[op]
     r = int(math.floor(radius))
     n = mesh.shape[axis]
 
     def body(g):  # g: local shard [nz/n, ny, nx]
         idx = jax.lax.axis_index(axis)
-        hi_fill = jnp.full_like(g[:r], _fill_for(g.dtype))
-        lo_fill = jnp.full_like(g[:r], _fill_for(g.dtype))
+        edge_fill = jnp.full_like(g[:r], fill)
         # send top slab down / bottom slab up
         up = jax.lax.ppermute(g[-r:], axis, [(i, i + 1) for i in range(n - 1)])
         dn = jax.lax.ppermute(g[:r], axis, [(i, i - 1) for i in range(1, n)])
-        lo = jnp.where(idx > 0, up, hi_fill)
-        hi = jnp.where(idx < n - 1, dn, lo_fill)
+        lo = jnp.where(idx > 0, up, edge_fill)
+        hi = jnp.where(idx < n - 1, dn, edge_fill)
         ext = jnp.concatenate([lo, g, hi], axis=0)
-        pooled = ball_pool_min(ext, radius)
+        pooled = pool(ext, radius) if op != "sum" else ball_pool_sum(ext, radius)
         return pooled[r:-r]
 
     spec = P(axis, None, None)
-    return shard_map(
-        body, mesh=mesh, in_specs=(spec,), out_specs=spec
-    )(grid)
+    return shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec)(grid)
 
 
-def _fill_for(dtype):
+def halo_ball_pool_min(grid, radius: float, mesh: Mesh, axis: str = "data"):
+    return _halo_pool(grid, radius, mesh, axis, "min")
+
+
+def halo_ball_pool_max(grid, radius: float, mesh: Mesh, axis: str = "data"):
+    return _halo_pool(grid, radius, mesh, axis, "max")
+
+
+def halo_ball_pool_sum(grid, radius: float, mesh: Mesh, axis: str = "data"):
+    return _halo_pool(grid, radius, mesh, axis, "sum")
+
+
+def halo_propagate_reach(
+    occupied, seed, radius: float, sweeps: int, mesh: Mesh, axis: str = "data"
+):
+    """Grid-sharded seeded reachability: the clustering propagation pattern
+    with halo exchange per sweep — demonstrates that the whole CC stage
+    shards along Z with one ppermute pair per sweep (DESIGN.md §6)."""
+    occ = occupied.astype(jnp.int32)
+    cur = (occ * seed.astype(jnp.int32)).astype(jnp.int32)
+    for _ in range(sweeps):
+        grown = halo_ball_pool_max(cur, radius, mesh, axis)
+        cur = occ * jnp.maximum(cur, (grown > 0).astype(jnp.int32))
+    return cur > 0
+
+
+def _fill_for(dtype, is_min=True):
     if jnp.issubdtype(dtype, jnp.integer):
-        return jnp.iinfo(dtype).max
-    return jnp.inf
+        return jnp.iinfo(dtype).max if is_min else jnp.iinfo(dtype).min
+    return jnp.inf if is_min else -jnp.inf
