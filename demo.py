@@ -49,10 +49,14 @@ def main():
 
     node = VoFOD(cfg, dyn, NodeOptions(raycast_mode="sweep"))
 
-    # apriori ground patch under the observer (config/apriori_maps analogue)
+    # apriori map covering the whole operation-area ground — the reference
+    # simulation loads a full static world cloud the same way
+    # (config/apriori_maps/sim.yaml + tmux/simulation)
     cx, cy, _ = cfg.oparea.offset
-    xs = np.arange(-8.0, 8.0, 0.4)
-    gx, gy = np.meshgrid(xs + cx, xs + cy)
+    lo, hi = cfg.oparea.lo, cfg.oparea.hi
+    gx, gy = np.meshgrid(
+        np.arange(lo[0] + 0.25, hi[0], 0.5), np.arange(lo[1] + 0.25, hi[1], 0.5)
+    )
     ground_z = cfg.oparea.lo[2] + 0.25
     patch = np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, ground_z)], axis=1)
     print(f"apriori voxels stamped: {node.load_apriori_map(patch)}")

@@ -129,6 +129,27 @@ class TestComponents:
 
 
 class TestBinning:
+    def test_multi_channel_matches_single(self, rng):
+        from vofod_tpu.ops.binning import bin_points_multi
+        import jax.numpy as jnp
+
+        grid = GridSpec(origin=(0.0, 0.0, 0.0), shape=(8, 8, 8), voxel_size=0.5)
+        pts = rng.uniform(-1, 5, size=(400, 3)).astype(np.float32)
+        v1 = rng.random(400) < 0.7
+        v2 = rng.random(400) < 0.4
+        both = bin_points_multi(
+            grid, jnp.asarray(pts),
+            jnp.stack([jnp.asarray(v1), jnp.asarray(v2)], axis=-1).astype(jnp.int32),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(both[0]),
+            np.asarray(bin_points(grid, jnp.asarray(pts), jnp.asarray(v1))),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(both[1]),
+            np.asarray(bin_points(grid, jnp.asarray(pts), jnp.asarray(v2))),
+        )
+
     def test_counts_match_histogram(self, rng):
         grid = GridSpec(origin=(0.0, 0.0, 0.0), shape=(8, 8, 8), voxel_size=0.5)
         pts = rng.uniform(-1, 5, size=(500, 3)).astype(np.float32)
