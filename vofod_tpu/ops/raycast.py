@@ -172,8 +172,11 @@ def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Ar
         w_p2 = jnp.where(lo == 1, frac, 0.0)
         return jnp.stack([w_m1, w_0, w_p1, w_p2], axis=-1)  # [nS, C, n, 4]
 
-    wa = tap_weights(rel_a, nA)  # [nS, C, nA, 4]
-    wb = tap_weights(rel_b, nB)  # [nS, C, nB, 4]
+    # bf16 throughout the scan: transmittance needs ~3 significant digits
+    # (it only modulates an EMA rate) and halving the loop's memory traffic
+    # is the dominant cost lever
+    wa = tap_weights(rel_a, nA).astype(jnp.bfloat16)  # [nS, C, nA, 4]
+    wb = tap_weights(rel_b, nB).astype(jnp.bfloat16)  # [nS, C, nB, 4]
     seed = (rel_s <= 1.0)[:, :, None, None]  # [nS, C, 1, 1]
 
     def step(carry, inp):
@@ -192,17 +195,17 @@ def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Ar
 
         t_in = lerp(lerp(carry, wb_p, 1), wa_p, 0)
         # seed: the first plane at/after the sensor starts fully lit
-        t_in = jnp.where(seed_p, 1.0, t_in)
-        carry_new = t_in * (1.0 - opaq_plane)
+        t_in = jnp.where(seed_p, jnp.bfloat16(1.0), t_in)
+        carry_new = t_in * (jnp.bfloat16(1.0) - opaq_plane)
         return carry_new, t_in
 
-    init = jnp.ones((C, nA, nB), jnp.float32)
+    init = jnp.ones((C, nA, nB), jnp.bfloat16)
     # unroll: each device-loop iteration advances several planes — the scan
     # is overhead-bound (tiny per-plane stencils)
     _, t = lax.scan(
-        step, init, (opaq_sc.astype(jnp.float32), wa, wb, seed), unroll=8
+        step, init, (opaq_sc.astype(jnp.bfloat16), wa, wb, seed), unroll=8
     )
-    return t
+    return t.astype(jnp.float32)
 
 
 def raycast_sweep(
