@@ -76,7 +76,51 @@ def ray_update(
     return jnp.where(active, updated, grid_vals)
 
 
+_STEP_CACHE: dict = {}
+
+
 def make_step_fn(
+    cfg: VoFODConfig,
+    lut: XyzLut,
+    *,
+    raycast_mode: str = "sweep",
+    raycast_every: int = 1,
+    donate: bool = True,
+    jit: bool = True,
+    mask=None,
+) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
+    """Build (or fetch from the process-level cache) the jitted step.
+
+    Identical (config, LUT, mask, mode) requests return the same jitted
+    callable, so constructing several detector nodes with the same setup
+    compiles once (jax.jit caching is per-callable; without this cache every
+    node would re-trace and re-compile an identical program).
+    """
+    import hashlib
+
+    key = (
+        cfg,
+        raycast_mode,
+        raycast_every,
+        donate,
+        jit,
+        hashlib.sha1(lut.directions.tobytes() + lut.offsets.tobytes()).hexdigest(),
+        hashlib.sha1(
+            b"" if mask is None else __import__("numpy").asarray(mask).tobytes()
+        ).hexdigest(),
+    )
+    cached = _STEP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    fn = _make_step_fn(
+        cfg, lut, raycast_mode=raycast_mode, raycast_every=raycast_every,
+        donate=donate, jit=jit, mask=mask,
+    )
+    _STEP_CACHE[key] = fn
+    return fn
+
+
+def _make_step_fn(
     cfg: VoFODConfig,
     lut: XyzLut,
     *,
