@@ -169,6 +169,37 @@ class TestSensor:
         assert out.sum() == H * W - 1
 
 
+class TestVoxelExports:
+    def test_frontier_markers_band(self):
+        from vofod_tpu.geometry import GridSpec
+        from vofod_tpu.runtime.viz import frontier_markers
+
+        g = GridSpec((0, 0, 0), (4, 4, 4), 0.5)
+        vals = np.full((4, 4, 4), -1000.0, np.float32)
+        vals[1, 1, 1] = -740.0  # in band
+        vals[2, 2, 2] = -100.0  # above band
+        m = frontier_markers(vals, g, -750.0, -300.0)
+        assert len(m.points) == 1
+        np.testing.assert_allclose(m.points[0], [0.75, 0.75, 0.75])
+
+    def test_node_export_voxels(self):
+        from vofod_tpu.config import Box, DynParams, SensorConfig, VoFODConfig
+        from vofod_tpu.runtime.node import NodeOptions, VoFOD
+
+        cfg = VoFODConfig(
+            sensor=SensorConfig(vertical_rays=8, horizontal_rays=32),
+            oparea=Box((0, 0, 4), (8.0, 8.0, 8.0)),
+            max_clusters=4, max_far_voxels=128, max_queries=32,
+            explore_submap=8, confidence_submap=8,
+        )
+        node = VoFOD(cfg, DynParams(), NodeOptions(raycast_mode="off"))
+        node.load_apriori_map(np.array([[1.0, 1.0, 1.0]]))
+        bg = node.export_voxels(-300.0, above=True)
+        assert bg.shape == (1, 3)
+        air = node.export_voxels(-300.0, above=False)
+        assert len(air) == cfg.n_voxels - 1
+
+
 class TestViz:
     def test_hsv(self):
         assert hsv_to_rgb(0, 1, 1) == (1, 0, 0)

@@ -270,6 +270,25 @@ class VoFOD:
         """The ~reset service (ref reset_callback :566-572)."""
         self.state = init_state(self.cfg, self.dyn)
 
+    # -------------------------------------------------------------- exports
+    def export_voxels(self, threshold: float, above: bool = True) -> np.ndarray:
+        """Voxel centers with value above (or below-or-equal) a threshold —
+        the ~background_pc / ~sure_air_pc debug clouds (ref voxelsAsPC,
+        voxel_map.cpp:157-184; publishers vofod_nodelet.cpp:1001-1016)."""
+        vals = np.asarray(jax.device_get(self.state.grid))
+        m = vals > threshold if above else ~(vals > threshold)
+        zz, yy, xx = np.nonzero(m)
+        g = self.grid_spec
+        ox, oy, oz = g.origin
+        return np.stack(
+            [
+                (xx + 0.5) * g.voxel_size + ox,
+                (yy + 0.5) * g.voxel_size + oy,
+                (zz + 0.5) * g.voxel_size + oz,
+            ],
+            axis=1,
+        ).astype(np.float32)
+
     # ------------------------------------------------------------------ replay
     def replay(self, npz_path: str, intensity=None) -> list[Detections]:
         """Run a recorded scan sequence (the rosbag-replay analogue,

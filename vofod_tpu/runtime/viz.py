@@ -176,6 +176,27 @@ def lidar_ray_markers(
     return Marker("lines", pts, colors, scale=0.02, ns="lidar_fov")
 
 
+def frontier_markers(
+    grid_vals: np.ndarray, grid_spec, thr_frontiers: float,
+    thr_new_obstacles: float, color=(0.0, 1.0, 1.0, 0.4), max_voxels=100_000,
+) -> Marker:
+    """Unknown-band ("frontier") voxels — the region exploreToGround walks
+    through (ref frontier_visualization, vofod_nodelet.cpp:2048-2085)."""
+    vals = np.asarray(grid_vals)
+    m = (vals > thr_frontiers) & (vals <= thr_new_obstacles)
+    zz, yy, xx = np.nonzero(m)
+    if len(zz) > max_voxels:
+        sel = np.linspace(0, len(zz) - 1, max_voxels).astype(np.int64)
+        zz, yy, xx = zz[sel], yy[sel], xx[sel]
+    ox, oy, oz = grid_spec.origin
+    vs = grid_spec.voxel_size
+    pts = np.stack(
+        [(xx + 0.5) * vs + ox, (yy + 0.5) * vs + oy, (zz + 0.5) * vs + oz], axis=1
+    ).astype(np.float32)
+    colors = np.tile(np.asarray(color, np.float32), (len(pts), 1))
+    return Marker("cubes", pts, colors, scale=vs, ns="frontiers")
+
+
 def save_markers_npz(path: str, markers: list[Marker]):
     data = {}
     for i, m in enumerate(markers):
