@@ -1,0 +1,139 @@
+"""Detector CLI — the detect.launch analogue.
+
+Runs the detector over an NPZ scan recording (or the built-in simulator),
+with reference-format YAML configs, optional apriori map (.pts/.txt),
+optional FOV mask, and optional marker/state outputs.
+
+  python -m vofod_tpu.tools.detect --scans recording.npz \
+      --config configs/detection_params.yaml \
+      --sensor configs/sensors/os0-128.yaml \
+      --map configs/apriori_maps/sim.yaml \
+      --apriori-cloud world.pts --mask mask.npy \
+      --save-state map.npz --markers markers.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--scans", help="NPZ recording (io.scan_source format)")
+    ap.add_argument("--config", default="", help="detection_params.yaml")
+    ap.add_argument("--sensor", default="", help="sensors/*.yaml")
+    ap.add_argument("--map", dest="map_yaml", default="", help="apriori_maps/*.yaml")
+    ap.add_argument("--apriori-cloud", default="", help=".pts/.txt static cloud")
+    ap.add_argument("--mask", default="", help="FOV mask (.npy/.png)")
+    ap.add_argument("--mask-mangle", action="store_true")
+    ap.add_argument("--raycast", default="sweep", choices=["sweep", "exact", "off"])
+    ap.add_argument("--save-state", default="", help="write final map NPZ")
+    ap.add_argument("--load-state", default="", help="resume from a map NPZ")
+    ap.add_argument("--markers", default="", help="write final markers NPZ")
+    ap.add_argument("--json", action="store_true", help="JSON lines output")
+    args = ap.parse_args(argv)
+
+    from vofod_tpu.config import DynParams, VoFODConfig, load_config
+    from vofod_tpu.runtime.node import NodeOptions, VoFOD
+
+    if args.config:
+        cfg, dyn = load_config(
+            args.config, args.sensor or None, args.map_yaml or None
+        )
+    else:
+        cfg, dyn = VoFODConfig(), DynParams()
+
+    node = VoFOD(
+        cfg,
+        dyn,
+        NodeOptions(
+            raycast_mode=args.raycast,
+            mask_path=args.mask,
+            mask_mangle=args.mask_mangle,
+        ),
+    )
+    if args.load_state:
+        node.load_snapshot(args.load_state)
+    if args.apriori_cloud:
+        from vofod_tpu.io.pc_loader import load_cloud
+
+        n = node.load_apriori_map(load_cloud(args.apriori_cloud))
+        print(f"# apriori voxels stamped: {n}", file=sys.stderr)
+
+    if not args.scans:
+        ap.error("--scans is required (record one with io.scan_source)")
+    msgs = node.replay(args.scans)
+    for m in msgs:
+        if args.json:
+            print(
+                json.dumps(
+                    {
+                        "stamp": m.header.stamp,
+                        "detections": [
+                            {
+                                "id": d.id,
+                                "position": d.position,
+                                "confidence": d.confidence,
+                                "n_points": d.n_points,
+                                "detection_probability": d.detection_probability,
+                            }
+                            for d in m.detections
+                        ],
+                    }
+                )
+            )
+        elif m.detections:
+            for d in m.detections:
+                print(
+                    f"t={m.header.stamp:.2f} id={d.id} pos="
+                    f"({d.position[0]:.2f},{d.position[1]:.2f},{d.position[2]:.2f})"
+                    f" conf={d.confidence:.3f} pdet={d.detection_probability:.3f}"
+                )
+
+    d = node.last_diag
+    print(
+        f"# {len(msgs)} scans; bg={int(d.n_bg_voxels)} "
+        f"active={bool(d.bg_sufficient and d.sure_bg_sufficient)}",
+        file=sys.stderr,
+    )
+    if args.save_state:
+        node.save_snapshot(args.save_state)
+    if args.markers:
+        import numpy as np
+
+        from vofod_tpu.runtime.viz import (
+            border_marker,
+            frontier_markers,
+            save_markers_npz,
+            voxel_markers,
+        )
+
+        vals = np.asarray(node.state.grid)
+        save_markers_npz(
+            args.markers,
+            [
+                voxel_markers(
+                    vals,
+                    node.grid_spec,
+                    [
+                        (float(node.dyn.thr_new_obstacles), (0, 0, 1, 0.6)),
+                        (float(node.dyn.thr_sure_obstacles), (0, 1, 0, 0.8)),
+                        (float(node.dyn.thr_apriori), (1, 0, 0, 1.0)),
+                    ],
+                ),
+                frontier_markers(
+                    vals,
+                    node.grid_spec,
+                    float(node.dyn.thr_frontiers),
+                    float(node.dyn.thr_new_obstacles),
+                ),
+                border_marker(node.grid_spec),
+            ],
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
