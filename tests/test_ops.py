@@ -90,6 +90,20 @@ class TestCompaction:
         ids, valid, total = masked_compact(jnp.asarray(mask), 8)
         assert int(total) == 0 and not np.asarray(valid).any()
 
+    def test_fuzz_shapes_and_densities(self, rng):
+        # block-boundary and capacity edge cases
+        for n, p, cap in [
+            (1024, 0.5, 600), (1025, 0.01, 16), (2048, 0.0, 8),
+            (3000, 1.0, 64), (1, 1.0, 4), (65536, 0.001, 128),
+        ]:
+            mask = rng.random(n) < p
+            ids, valid, total = masked_compact(jnp.asarray(mask), cap)
+            want = np.nonzero(mask)[0]
+            assert int(total) == len(want), (n, p, cap)
+            k = min(len(want), cap)
+            np.testing.assert_array_equal(np.asarray(ids)[:k], want[:k])
+            assert int(np.asarray(valid).sum()) == k
+
     def test_large_sparse(self, rng):
         mask = np.zeros(300_000, bool)
         pick = rng.choice(300_000, 200, replace=False)
