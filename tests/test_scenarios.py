@@ -50,12 +50,38 @@ class TestMultiTarget:
         for _ in range(5):
             msg = node.process_scan(tgt, None, pose)
         assert len(msg.detections) == 2
-        got = sorted(tuple(np.round(d.position, 0)) for d in msg.detections)
-        found = {tuple: False for tuple in got}
         centers = [np.array([8.0, 0.0, 5.0]), np.array([0.0, 9.0, 6.0])]
         for d in msg.detections:
             errs = [np.linalg.norm(np.array(d.position) - c) for c in centers]
             assert min(errs) < 1.0
+
+
+class TestMovingSensor:
+    def test_orbiting_sensor_detects_target(self):
+        """The sensor flies an arc while the target hovers: the map must
+        integrate consistently across viewpoints (raycast origin moves) and
+        still isolate the floating target."""
+        node = make_node()
+        # warm from several viewpoints on an arc of radius 3 m
+        poses = [
+            hover_pose(
+                (3.0 * np.cos(a), 3.0 * np.sin(a), 3.0 + 0.2 * np.sin(2 * a)),
+                yaw=a,
+            )
+            for a in np.linspace(0, np.pi, 24)
+        ]
+        for p in poses:
+            node.process_scan(
+                render_scan(Scene(ground_z=0.0), node.lut, p), None, p
+            )
+        sc = Scene(ground_z=0.0)
+        sc.add_sphere(center=(8.0, 0.0, 5.0), radius=0.5)
+        msg = None
+        for p in poses[:4]:
+            msg = node.process_scan(render_scan(sc, node.lut, p), None, p)
+        assert len(msg.detections) == 1
+        pos = np.array(msg.detections[0].position)
+        assert np.linalg.norm(pos - [8.0, 0.0, 5.0]) < 1.0
 
 
 class TestGateRejections:
