@@ -23,6 +23,7 @@ def main():
     ap.add_argument("--config", type=str, default="")
     ap.add_argument("--sensor", type=str, default="")
     ap.add_argument("--small", action="store_true", help="small grid (CPU-friendly)")
+    ap.add_argument("--profile", default="", help="jax.profiler trace dir (the valgrind profile:=true analogue)")
     args = ap.parse_args()
 
     from vofod_tpu.config import Box, DynParams, SensorConfig, VoFODConfig, load_config
@@ -64,8 +65,12 @@ def main():
     observer = np.array([cx, cy, ground_z + 4.0])
     pose = hover_pose(observer)
 
+    from vofod_tpu.runtime.profiling import trace
+
     t0 = time.time()
     n_det = 0
+    profile_ctx = trace(args.profile or None)
+    profile_ctx.__enter__()
     for i in range(args.scans):
         # target orbits the observer at 10 m radius, 4 m above ground
         ang = 0.08 * i
@@ -85,6 +90,7 @@ def main():
                 f"{d.position[1]:.2f},{d.position[2]:.2f}) err={err:.2f} m"
                 f" conf={d.confidence:.3f} pdet={d.detection_probability:.3f}"
             )
+    profile_ctx.__exit__(None, None, None)
     dt = time.time() - t0
     diag = node.last_diag
     print(

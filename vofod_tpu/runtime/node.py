@@ -22,7 +22,7 @@ from vofod_tpu.geometry import GridSpec
 from vofod_tpu.io.msgs import Detection, Detections, Header, ProfilingInfo, Status
 from vofod_tpu.pipeline.state import ScanInput, VoFODState, init_state
 from vofod_tpu.pipeline.step import make_step_fn
-from vofod_tpu.runtime.profiling import ProfilingStream
+from vofod_tpu.runtime.profiling import ProfilingStream, ScopeTimer
 from vofod_tpu.sensor import XyzLut, make_lut
 
 
@@ -111,14 +111,21 @@ class VoFOD:
             np.ones(n, np.float32) if intensity is None
             else np.asarray(intensity, np.float32).reshape(-1)
         )
+        # named checkpoints around the dispatch (ref mrs_lib::ScopeTimer
+        # checkpoints through processMsg, vofod_nodelet.cpp:887-964)
+        stimer = ScopeTimer(f"pc proc #{int(self.state.step)}")
         scan = ScanInput(
             ranges_mm=jnp.asarray(r.astype(np.float32)),
             intensity=jnp.asarray(inten),
             pose=jnp.asarray(np.asarray(pose, np.float32)),
         )
+        stimer.checkpoint("upload")
         with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
             self.state, out = self._step(self.state, scan, self.dyn)
+        stimer.checkpoint("dispatch")
         self.last_diag = jax.device_get(out.diag)
+        stimer.checkpoint("readback")
+        self.last_scope_timer = stimer
         self._log_throttled()
         # the fused step subsumes the reference's raycast and sepclusters
         # threads; emit their START/END markers so downstream ProfilingInfo
