@@ -220,6 +220,36 @@ class TestViz:
         cols = {tuple(c) for c in m.colors}
         assert (0, 0, 1, 1) in cols and (1, 0, 0, 1) in cols
 
+    def test_cluster_obb_markers(self):
+        import types
+
+        from vofod_tpu.runtime.viz import cluster_obb_markers
+
+        det = types.SimpleNamespace(
+            cluster_class=np.array([1, 2, 0]),
+            valid=np.array([True, False, False]),
+            n_points=np.array([5, 3, 0]),
+            obb_axes=np.tile(np.eye(3, dtype=np.float32), (3, 1, 1)),
+            obb_extent=np.array(
+                [[0.5, 0.4, 0.3], [1.0, 1.0, 1.0], [0, 0, 0]], np.float32
+            ),
+            obb_center=np.array(
+                [[1, 2, 3], [4, 5, 6], [0, 0, 0]], np.float32
+            ),
+        )
+        m = cluster_obb_markers(det)
+        # two drawable clusters x 12 edges x 2 points
+        assert m.points.shape == (2 * 24, 3)
+        # mav cluster drawn red, unknown yellow
+        assert tuple(m.colors[0]) == (1.0, 0.0, 0.0, 1.0)
+        assert tuple(m.colors[24]) == (1.0, 1.0, 0.0, 0.8)
+        # first cluster corners centered on (1,2,3) with given extents
+        c0 = m.points[:24]
+        np.testing.assert_allclose(c0.mean(axis=0), [1, 2, 3], atol=1e-5)
+        assert np.max(np.abs(c0 - [1, 2, 3]), axis=0) == pytest.approx(
+            [0.5, 0.4, 0.3], abs=1e-5
+        )
+
     def test_border_and_rays(self):
         from vofod_tpu.geometry import GridSpec
 

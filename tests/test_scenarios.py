@@ -149,6 +149,29 @@ class TestLiveTuning:
         assert vals[np.isfinite(vals)].min() < -741.0
 
 
+class TestNearGround:
+    def test_low_hovering_object_is_background(self):
+        """An object within ground_points_max_distance of the background is a
+        close cluster — absorbed into the map, never detected (ref
+        findCloseFarClusters semantics)."""
+        node = make_node()
+        pose = hover_pose((0.0, 0.0, 3.0))
+        warm(node, pose)
+        sc = Scene(ground_z=0.0)
+        sc.add_sphere(center=(5.0, 0.0, 1.0), radius=0.4)  # 1 m above ground
+        tgt = render_scan(sc, node.lut, pose)
+        for _ in range(5):
+            msg = node.process_scan(tgt, None, pose)
+        assert len(msg.detections) == 0
+        # and the object's voxels have been absorbed as background
+        g = node.grid_spec
+        ix = int((4.6 - g.origin[0]) / g.voxel_size)
+        iy = int((0.0 - g.origin[1]) / g.voxel_size)
+        iz = int((1.0 - g.origin[2]) / g.voxel_size)
+        vals = np.asarray(node.state.grid)
+        assert vals[iz - 1 : iz + 2, iy - 1 : iy + 2, ix - 1 : ix + 2].max() > -300.0
+
+
 class TestEdgeCases:
     def test_all_zero_scan_is_harmless(self):
         node = make_node()
