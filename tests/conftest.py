@@ -30,3 +30,16 @@ assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(42)
+
+
+def pytest_configure(config):
+    """Build the native library if missing (the .so is not committed)."""
+    import pathlib
+    import subprocess
+
+    native = pathlib.Path(__file__).resolve().parent.parent / "native"
+    if not (native / "libvofod_native.so").exists():
+        try:
+            subprocess.run(["make", "-C", str(native)], check=True, timeout=120)
+        except Exception as e:  # tests using the lib will fall back / fail loudly
+            print(f"[conftest] native build failed: {e}")
