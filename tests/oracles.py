@@ -152,3 +152,124 @@ def explore_to_ground_np(
                     to_explore.append(cand)
         explored.add(cur)
     return False, set(explored_unknown)
+
+
+def voxel_grid_counted_quirk_np(
+    pts, intensity, valid, leaf, threshold, origin, out_shape
+):
+    """Verbatim VoxelGridCounted with the 4th-pass indexing quirk
+    (ref src/voxel_grid_counted.cpp:124-199): build (cell_id, point_idx)
+    for valid points in input order, sort by cell id, then per run count
+    ``intensity > threshold`` over RAW INPUT POSITIONS [first, last)
+    (:185-187) — not the stored point indices."""
+    nz, ny, nx = out_shape
+    o = np.asarray(origin, np.float64)
+    index_vector = []  # (cell_id, point_idx) in input order
+    for i, (p, v) in enumerate(zip(pts, valid)):
+        if not v:
+            continue
+        c = np.floor((np.asarray(p, np.float64) - o) / leaf).astype(int)
+        if (c < 0).any() or c[0] >= nx or c[1] >= ny or c[2] >= nz:
+            continue
+        cell_id = c[0] + c[1] * nx + c[2] * nx * ny  # PCL: x fastest
+        index_vector.append((cell_id, i, tuple(c)))
+    index_vector.sort(key=lambda t: t[0])  # std::sort by idx only
+    counts = np.zeros(out_shape, np.int64)
+    sure = np.zeros(out_shape, np.int64)
+    k = 0
+    while k < len(index_vector):
+        j = k + 1
+        while j < len(index_vector) and index_vector[j][0] == index_vector[k][0]:
+            j += 1
+        cx, cy, cz = index_vector[k][2]
+        counts[cz, cy, cx] = j - k
+        # QUIRK: count over raw input positions [k, j), not point indices
+        sure[cz, cy, cx] = sum(
+            1 for r in range(k, j) if intensity[r] > threshold
+        )
+        k = j
+    return counts, sure
+
+
+def sepclusters_exact_np(
+    vals,
+    thr_new,
+    thr_sure,
+    min_sure_points,
+    max_dist_idx,
+    score_ray,
+    its_diff,
+    quirk_indexing,
+):
+    """Verbatim updateSeparatedBGClusters (ref vofod_nodelet.cpp:1124-1294)
+    on a (nz, ny, nx) value grid, coarse lattice anchored at the grid origin
+    (documented deviation from PCL's data-min anchor; identical membership
+    for leaf size 1).  Returns (new_vals, sure_sufficient)."""
+    nz, ny, nx = vals.shape
+    mv = math.ceil(max_dist_idx)  # max_voxel_dist (ref :1143)
+    lsz = max(mv - 1, 1)  # ref :1162 (PCL breaks at 0)
+
+    # voxelsAsVoxelPC: x outer, y, z fastest (ref voxel_map.cpp:190-196);
+    # point = (ix, iy, iz), intensity = mapval
+    export = []
+    for x in range(nx):
+        for y in range(ny):
+            for z in range(nz):
+                if vals[z, y, x] > thr_new:
+                    export.append(((x, y, z), vals[z, y, x]))
+    if not export:
+        return vals.copy(), False
+
+    ncx = (nx + lsz - 1) // lsz
+    ncy = (ny + lsz - 1) // lsz
+    ncz = (nz + lsz - 1) // lsz
+    pts = np.array([p for p, _ in export], np.float64)
+    inten = np.array([i for _, i in export], np.float64)
+    counts, sure = (
+        voxel_grid_counted_quirk_np(
+            pts, inten, np.ones(len(export), bool), lsz, thr_sure,
+            (0.0, 0.0, 0.0), (ncz, ncy, ncx),
+        )
+        if quirk_indexing
+        else _counted_spec_np(
+            pts, inten, lsz, thr_sure, (ncz, ncy, ncx)
+        )
+    )
+
+    # cluster coarse cells: centers lsz apart, tolerance mv (ref :1171)
+    occ_c = counts > 0
+    labels, ncomp = euclidean_clusters_np(occ_c, mv / lsz)
+    new_vals = vals.copy()
+    sure_sufficient = False
+    cluster_sure = [
+        sure[labels == c].sum() for c in range(ncomp)
+    ]
+    if not any(s >= min_sure_points for s in cluster_sure):
+        return new_vals, False  # early return, no demotion (ref :1197-1206)
+    sure_sufficient = True
+    w1 = min(max(0.5**its_diff, 0.0), 1.0)
+    offs = ball_offsets_np(max_dist_idx)
+    for c in range(ncomp):
+        if cluster_sure[c] >= min_sure_points:
+            continue
+        for cz, cy, cx in zip(*np.nonzero(labels == c)):
+            # demotion around the coarse cell center cast<int> (ref :1253)
+            pz, py, px = cz * lsz + lsz // 2, cy * lsz + lsz // 2, cx * lsz + lsz // 2
+            for dz, dy, dx in offs:
+                z, y, x = pz + dz, py + dy, px + dx
+                if 0 <= z < nz and 0 <= y < ny and 0 <= x < nx:
+                    new_vals[z, y, x] = (
+                        w1 * new_vals[z, y, x] + (1 - w1) * score_ray
+                    )
+    return new_vals, sure_sufficient
+
+
+def _counted_spec_np(pts, inten, leaf, thr, out_shape):
+    counts = np.zeros(out_shape, np.int64)
+    sure = np.zeros(out_shape, np.int64)
+    for p, i in zip(pts, inten):
+        c = np.floor(np.asarray(p, np.float64) / leaf).astype(int)
+        counts[c[2], c[1], c[0]] += 1
+        if i > thr:
+            sure[c[2], c[1], c[0]] += 1
+    return counts, sure

@@ -53,3 +53,29 @@ class TestSeededLabels:
             jnp.asarray(occ2), jnp.zeros_like(jnp.asarray(occ2)), 3.0, 16
         )
         assert int(np.asarray(labels2)[6, 6, 6]) < int(np.asarray(labels2)[1, 1, 1])
+
+    def test_cc_iters_tracks_scene_complexity(self):
+        """cc_iters is a real diagnostic: a single voxel converges in one
+        sweep; a long chain needs ~length/radius sweeps; hitting the cap
+        reports max_iters with converged=False."""
+        occ1 = np.zeros((4, 4, 32), bool)
+        occ1[1, 1, 5] = True
+        _, _, conv1, it1 = label_components_seeded(
+            jnp.asarray(occ1), jnp.zeros((4, 4, 32), bool), 1.0, 8
+        )
+        assert bool(conv1) and int(it1) <= 1
+
+        occ2 = np.zeros((4, 4, 32), bool)
+        occ2[1, 1, :] = True  # 32-long chain, radius 1 -> ~31 sweeps
+        _, _, conv2, it2 = label_components_seeded(
+            jnp.asarray(occ2), jnp.zeros((4, 4, 32), bool), 1.0, 64
+        )
+        assert bool(conv2)
+        assert int(it2) > int(it1)
+        assert 28 <= int(it2) <= 32
+
+        _, _, conv3, it3 = label_components_seeded(
+            jnp.asarray(occ2), jnp.zeros((4, 4, 32), bool), 1.0, 8
+        )
+        assert not bool(conv3)
+        assert int(it3) == 8

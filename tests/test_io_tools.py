@@ -259,3 +259,102 @@ class TestViz:
         lut = make_lut_simulation(16, 4, np.deg2rad(45.0))
         rm = lidar_ray_markers(lut, np.zeros(64, np.uint32), np.eye(4), stride=8)
         assert rm.points.shape[0] == 2 * (64 // 8)
+
+
+class TestBagConversion:
+    """bag->NPZ converter pure parts (tools/bag_to_npz.py) — the rosbag
+    reader itself needs a ROS machine; the conversion math is tested here."""
+
+    def test_organized_cloud_roundtrip_range_field(self):
+        from vofod_tpu.tools.bag_to_npz import organized_cloud_to_scan
+
+        H, W = 4, 8
+        r = (np.arange(H * W, dtype=np.uint32) * 250).reshape(H, W)
+        got = organized_cloud_to_scan({"range": r}, H, W)
+        np.testing.assert_array_equal(got, r.reshape(-1))
+
+    def test_organized_cloud_from_xyz(self):
+        from vofod_tpu.tools.bag_to_npz import organized_cloud_to_scan
+
+        H, W = 2, 4
+        xyz = np.zeros((H * W, 3))
+        xyz[:, 0] = np.arange(H * W) * 0.5  # ranges 0, 0.5, 1.0, ... m
+        xyz[3] = np.nan  # invalid point -> range 0
+        got = organized_cloud_to_scan({"xyz": xyz}, H, W)
+        want = (np.arange(H * W) * 500).astype(np.uint32)
+        want[3] = 0
+        np.testing.assert_array_equal(got, want)
+
+    def test_destagger_applied(self):
+        from vofod_tpu.tools.bag_to_npz import organized_cloud_to_scan
+
+        H, W = 2, 4
+        shift = np.array([0, 1])
+        r = np.arange(H * W, dtype=np.uint32).reshape(H, W)
+        got = organized_cloud_to_scan(
+            {"range": r}, H, W, pixel_shift_by_row=shift, do_destagger=True
+        ).reshape(H, W)
+        np.testing.assert_array_equal(got[0], r[0])  # shift 0
+        np.testing.assert_array_equal(got[1], r[1][[1, 2, 3, 0]])  # shift 1
+
+    def test_tf_chain_composition_and_latest_lookup(self):
+        from vofod_tpu.tools.bag_to_npz import accumulate_tf
+
+        msgs = [
+            # world -> uav at two stamps (moves +1m in x)
+            dict(stamp=0.0, parent="world", child="uav",
+                 txyz=(1.0, 0.0, 2.0), quat=(0, 0, 0, 1)),
+            dict(stamp=1.0, parent="world", child="uav",
+                 txyz=(2.0, 0.0, 2.0), quat=(0, 0, 0, 1)),
+            # static uav -> os_sensor: +0.1m z, yaw 90deg
+            dict(stamp=0.0, parent="uav", child="os_sensor",
+                 txyz=(0.0, 0.0, 0.1),
+                 quat=(0.0, 0.0, np.sin(np.pi / 4), np.cos(np.pi / 4))),
+        ]
+        chain = accumulate_tf(msgs, "world", "os_sensor")
+        T0 = chain.lookup(0.5)
+        np.testing.assert_allclose(T0[:3, 3], [1.0, 0.0, 2.1], atol=1e-6)
+        # yaw 90: sensor x-axis maps to world y-axis
+        np.testing.assert_allclose(T0[:3, :3] @ [1, 0, 0], [0, 1, 0],
+                                   atol=1e-6)
+        T1 = chain.lookup(5.0)  # latest transform
+        np.testing.assert_allclose(T1[:3, 3], [2.0, 0.0, 2.1], atol=1e-6)
+
+    def test_tf_chain_missing_edge_raises(self):
+        from vofod_tpu.tools.bag_to_npz import accumulate_tf
+
+        with np.testing.assert_raises(ValueError):
+            accumulate_tf([], "world", "os_sensor")
+
+
+class TestRosAdapterConverters:
+    def test_quat_to_matrix_identity_and_yaw(self):
+        from vofod_tpu.runtime.ros_adapter import quat_to_matrix
+
+        np.testing.assert_allclose(quat_to_matrix(0, 0, 0, 1), np.eye(3),
+                                   atol=1e-9)
+        R = quat_to_matrix(0, 0, np.sin(np.pi / 4), np.cos(np.pi / 4))
+        np.testing.assert_allclose(R @ [1, 0, 0], [0, 1, 0], atol=1e-9)
+
+    def test_detections_and_status_json(self):
+        import json
+
+        from vofod_tpu.io.msgs import Detection, Detections, Header, Status
+        from vofod_tpu.runtime.ros_adapter import (
+            detections_to_json,
+            status_to_json,
+        )
+
+        out = Detections(header=Header(1.5, "world"))
+        out.detections.append(
+            Detection(id=3, confidence=0.9, n_points=12,
+                      position=(1.0, 2.0, 3.0), covariance=(0.0,) * 9,
+                      detection_probability=0.8)
+        )
+        d = json.loads(detections_to_json(out))
+        assert d["frame_id"] == "world"
+        assert d["detections"][0]["id"] == 3
+        s = json.loads(status_to_json(
+            Status(detection_enabled=True, detection_active=False), 2.0))
+        assert s == {"stamp": 2.0, "detection_enabled": True,
+                     "detection_active": False}

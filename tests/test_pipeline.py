@@ -146,3 +146,60 @@ def _down():
     T = np.eye(4, dtype=np.float32)
     T[:3, :3] = np.array([[0, 0, -1], [0, 1, 0], [1, 0, 0]], np.float32).T
     return T
+
+
+class TestStagedStep:
+    def test_staged_equals_fused_and_times_stages(self):
+        """StagedStep (profiling mode) composes to exactly the fused step's
+        result, and its ProfilingInfo routine events carry real durations."""
+        from vofod_tpu.config import Box, SensorConfig, VoFODConfig
+        from vofod_tpu.io.msgs import ProfilingInfo
+
+        cfg = VoFODConfig(
+            sensor=SensorConfig(
+                vertical_rays=8, horizontal_rays=32,
+                vertical_fov=np.deg2rad(90.0),
+            ),
+            oparea=Box((0.0, 0.0, 4.0), (8.0, 8.0, 8.0)),
+            max_clusters=4,
+            max_far_voxels=128,
+            max_queries=32,
+            explore_submap=8,
+            confidence_submap=8,
+        )
+        dyn = DynParams()
+        fused = VoFOD(cfg, dyn, NodeOptions(raycast_mode="sweep"))
+        staged = VoFOD(
+            cfg, dyn, NodeOptions(raycast_mode="sweep", profile_stages=True)
+        )
+
+        scene = Scene(ground_z=0.0)
+        scene.add_sphere(center=(2.0, 1.0, 6.5), radius=0.4)
+        pose = hover_pose((0.0, 0.0, 5.0))
+        ranges = render_scan(scene, fused.lut, pose)
+        for i in range(4):
+            m_f = fused.process_scan(ranges, None, pose, stamp=i * 0.1)
+            m_s = staged.process_scan(ranges, None, pose, stamp=i * 0.1)
+            assert len(m_f.detections) == len(m_s.detections)
+        np.testing.assert_array_equal(
+            np.asarray(fused.state.grid), np.asarray(staged.state.grid)
+        )
+        assert int(fused.state.step) == int(staged.state.step)
+
+        # the staged node emitted one START/END pair per routine per scan,
+        # with nonzero durations for all three routines
+        evs = staged.profiling.events
+        for rid in (
+            ProfilingInfo.ROUTINE_CNC,
+            ProfilingInfo.ROUTINE_RAYCASTING,
+            ProfilingInfo.ROUTINE_SEPBGCLUSTERS,
+        ):
+            starts = [e for e in evs
+                      if e.routine_id == rid
+                      and e.event_type == ProfilingInfo.EVENT_START]
+            ends = [e for e in evs
+                    if e.routine_id == rid
+                    and e.event_type == ProfilingInfo.EVENT_END]
+            assert len(starts) == len(ends) == 4
+            durs = [b.stamp - a.stamp for a, b in zip(starts, ends)]
+            assert all(d > 0 for d in durs)

@@ -5,7 +5,12 @@ import numpy as np
 import pytest
 
 from vofod_tpu.geometry import GridSpec
-from vofod_tpu.ops.raycast import raycast_dda, raycast_sweep
+from vofod_tpu.ops.raycast import (
+    gate_faces,
+    make_angular_gate,
+    raycast_dda,
+    raycast_sweep,
+)
 from vofod_tpu.sensor import make_lut_simulation
 
 from oracles import dda_raylen_np
@@ -111,6 +116,103 @@ class TestSweep:
         raylen_rot = np.asarray(raycast_sweep(
             grid, jnp.asarray(opaque), jnp.asarray(origin), jnp.asarray(R), **kw))
         assert raylen_rot[5, 27, 28] < 0.05 * raylen_rot[7, 22, 17]
+
+    def test_masked_sector_not_cleared(self):
+        """A permanently-occluded azimuth sector (FOV mask, no returns) must
+        not clear freespace in sweep mode — the reference skips masked
+        no-return pixels entirely (vofod_nodelet.cpp:1449-1450).  Exact DDA
+        already honors this; before the angular gate the sweep diverged."""
+        grid, lut, origin = self._setup()
+        H, W = 32, 256
+        gate = make_angular_gate(lut)
+
+        # mask out azimuth 45°..90° (sim LUT: az = col * 2π/(W-1))
+        yaw_step = 2 * np.pi / (W - 1)
+        cols = np.arange(W)
+        masked_cols = (cols * yaw_step >= np.deg2rad(45.0)) & (
+            cols * yaw_step <= np.deg2rad(90.0)
+        )
+        mask = np.ones((H, W), bool)
+        mask[:, masked_cols] = False
+
+        # scan with no returns anywhere: active = mask | (range > 0) = mask
+        active = jnp.asarray(mask)
+        faces = gate_faces(gate, active, jnp.eye(3))
+        opaque = jnp.zeros(grid.shape, bool)
+        kw = dict(max_distance=jnp.float32(20.0),
+                  vertical_fov=np.deg2rad(90.0), v_rays=H, h_rays=W)
+        gated = np.asarray(raycast_sweep(
+            grid, opaque, jnp.asarray(origin), jnp.eye(3), gate=faces, **kw))
+        ungated = np.asarray(raycast_sweep(
+            grid, opaque, jnp.asarray(origin), jnp.eye(3), **kw))
+
+        # exact DDA with the reference gate: masked no-return rays skipped
+        valid = mask.reshape(-1)
+        starts = np.tile(origin[None, :], (valid.size, 1)).astype(np.float32)
+        lengths = np.full(valid.size, 20.0, np.float32)
+        exact = np.asarray(raycast_dda(
+            grid, jnp.asarray(starts), jnp.asarray(lut.directions),
+            jnp.asarray(lengths), jnp.asarray(valid), max_length=20.0))
+
+        # voxel ~5 m out at az 67.5° (deep inside the masked sector), z level
+        # of the sensor: exact mode casts nothing; the gated sweep must agree
+        sector = (8, 25, 19)
+        assert exact[sector] == 0.0
+        assert ungated[sector] > 0.1  # the old behavior: wrongly cleared
+        assert gated[sector] < 0.02 * ungated[sector]
+        # an unmasked direction (az 180°) is unaffected by the gate
+        open_v = (8, 16, 6)
+        assert exact[open_v] > 0
+        assert gated[open_v] == pytest.approx(ungated[open_v], rel=0.15)
+
+    def test_intensity_gated_sector(self):
+        """Pixels below raycast/min_intensity never cast (ref :1449) — the
+        active image folds them into the same angular gate."""
+        grid, lut, origin = self._setup()
+        H, W = 32, 256
+        gate = make_angular_gate(lut)
+        yaw_step = 2 * np.pi / (W - 1)
+        cols = np.arange(W)
+        low_int = (cols * yaw_step >= np.deg2rad(225.0)) & (
+            cols * yaw_step <= np.deg2rad(315.0)
+        )
+        intensity = np.where(low_int[None, :], 0.1, 5.0).astype(np.float32)
+        min_intensity = 1.0
+        active = jnp.asarray(
+            np.broadcast_to(intensity >= min_intensity, (H, W))
+        )
+        faces = gate_faces(gate, active, jnp.eye(3))
+        opaque = jnp.zeros(grid.shape, bool)
+        kw = dict(max_distance=jnp.float32(20.0),
+                  vertical_fov=np.deg2rad(90.0), v_rays=H, h_rays=W)
+        gated = np.asarray(raycast_sweep(
+            grid, opaque, jnp.asarray(origin), jnp.eye(3), gate=faces, **kw))
+        ungated = np.asarray(raycast_sweep(
+            grid, opaque, jnp.asarray(origin), jnp.eye(3), **kw))
+        # az 270° = -y direction, ~5 m out -> idx y = (-5+8)/0.5 = 6
+        assert gated[8, 6, 16] < 0.02 * ungated[8, 6, 16]
+        # az 0° untouched
+        assert gated[8, 16, 26] == pytest.approx(ungated[8, 16, 26], rel=0.15)
+
+    def test_gate_all_active_matches_ungated(self):
+        """With every pixel active the gate reduces to the (more accurate)
+        FOV window: inside the FOV the field is unchanged."""
+        grid, lut, origin = self._setup()
+        gate = make_angular_gate(lut)
+        faces = gate_faces(gate, jnp.ones((32, 256), bool), jnp.eye(3))
+        opaque = np.zeros(grid.shape, bool)
+        opaque[4:10, 24:28, 20:24] = True
+        kw = dict(max_distance=jnp.float32(20.0),
+                  vertical_fov=np.deg2rad(90.0), v_rays=32, h_rays=256)
+        gated = np.asarray(raycast_sweep(
+            grid, jnp.asarray(opaque), jnp.asarray(origin), jnp.eye(3),
+            gate=faces, **kw))
+        ungated = np.asarray(raycast_sweep(
+            grid, jnp.asarray(opaque), jnp.asarray(origin), jnp.eye(3), **kw))
+        # compare at mid-elevation voxels well inside the FOV
+        sel = np.s_[7:10, 4:28, 4:28]
+        np.testing.assert_allclose(gated[sel], ungated[sel], rtol=0.1,
+                                   atol=1e-4)
 
     def test_sweep_tracks_dda_in_open_space(self):
         """In an empty scene the sweep field should match the DDA field to

@@ -64,6 +64,68 @@ class TestDataParallel:
         # state really is sharded over the mesh
         assert len(state.grid.sharding.device_set) == 8
 
+    def test_streams_independent_and_match_single_stream(self):
+        """Heterogeneous scans per stream: every stream advances its own step
+        count and produces bit-identical state to running the plain
+        single-stream step — the shard_map + per-shard lax.scan design runs
+        the UNBATCHED program per stream by construction."""
+        from vofod_tpu.pipeline.state import init_state
+        from vofod_tpu.pipeline.step import make_step_fn
+
+        cfg = tiny_config()
+        dyn = DynParams()
+        mesh = make_mesh(8)
+        lut = make_lut(cfg.sensor)
+        B = 8
+        pose = hover_pose((0.0, 0.0, 3.0))
+        empty = render_scan(Scene(ground_z=0.0), lut, pose)
+        tgt_scene = Scene(ground_z=0.0)
+        tgt_scene.add_sphere(center=(5.0, 0.0, 6.0), radius=0.6)
+        tgt = render_scan(tgt_scene, lut, pose)
+        per_stream = np.stack([tgt if b % 2 else empty for b in range(B)])
+
+        state = init_batched_state(cfg, dyn, B, mesh)
+        step = make_batched_step(cfg, lut, mesh)
+        scans = ScanInput(
+            ranges_mm=jnp.asarray(per_stream.astype(np.float32)),
+            intensity=jnp.ones((B, per_stream.shape[1]), jnp.float32),
+            pose=jnp.broadcast_to(jnp.asarray(pose), (B, 4, 4)),
+        )
+        for _ in range(3):
+            state, out = step(state, scans, dyn.as_arrays())
+        # per-stream step counters all advanced
+        np.testing.assert_array_equal(np.asarray(state.step), np.full(B, 3))
+        # single-stream reference runs (streams 0 and 1 cover both scenes)
+        sstep = make_step_fn(cfg, lut, donate=False)
+        for b in (0, 1):
+            st = init_state(cfg, dyn)
+            sc = ScanInput(
+                ranges_mm=jnp.asarray(per_stream[b].astype(np.float32)),
+                intensity=jnp.ones((per_stream.shape[1],), jnp.float32),
+                pose=jnp.asarray(pose),
+            )
+            for _ in range(3):
+                st, _ = sstep(st, sc, dyn.as_arrays())
+            np.testing.assert_array_equal(
+                np.asarray(state.grid[b]), np.asarray(st.grid)
+            )
+
+    def test_batch_not_divisible_raises(self):
+        cfg = tiny_config()
+        mesh = make_mesh(8)
+        lut = make_lut(cfg.sensor)
+        dyn = DynParams()
+        state = init_batched_state(cfg, dyn, 8, mesh)
+        step = make_batched_step(cfg, lut, mesh)
+        bad = jax.tree.map(lambda x: x[:6], state)
+        scans = ScanInput(
+            ranges_mm=jnp.zeros((6, cfg.sensor.n_points), jnp.float32),
+            intensity=jnp.ones((6, cfg.sensor.n_points), jnp.float32),
+            pose=jnp.broadcast_to(jnp.eye(4), (6, 4, 4)),
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            step(bad, scans, dyn.as_arrays())
+
 
 class TestGridSharding:
     @pytest.mark.parametrize("radius", [1.6, 3.0])

@@ -131,11 +131,19 @@ class VoFODConfig:
     # (ref period 0.1 s at a 10 Hz scan rate == every scan;
     # config/detection_params.yaml:3)
     sepclusters_every: int = 1
+    # exact per-cluster sure-voxel census (ref vofod_nodelet.cpp:1174-1206):
+    # coarse counted binning + component labeling to convergence + per-
+    # component census — bit-parity mode.  The default (False) uses the
+    # local-ball-density seeding (pipeline/sepclusters.py docstring), which is
+    # much cheaper and equivalent for dense real background structure.
+    sepclusters_exact_census: bool = False
 
     # --- compat flags for reference quirks (SURVEY.md §7 hard-part e) -------
     # reference counts "sure" voxels over positions in the sorted index vector
-    # instead of remapped point indices (voxel_grid_counted.cpp:185-187);
-    # spec-correct behavior is the default here
+    # instead of remapped point indices (voxel_grid_counted.cpp:185-187),
+    # permuting per-cell counts; spec-correct is the default.  True routes
+    # ops/binning.voxel_grid_counted(compat_indexing=True) and the quirked
+    # census inside pipeline/sepclusters.run_sepclusters_exact
     compat_counted_indexing: bool = False
     # reference's rangefinder validity check uses && where || was intended
     # (vofod_nodelet.cpp:585); spec-correct behavior is the default

@@ -86,16 +86,26 @@ def voxel_grid_counted(
     threshold: Array | float,
     origin=(0.0, 0.0, 0.0),
     out_shape: tuple[int, int, int] = (64, 64, 64),
+    compat_indexing: bool = False,
 ) -> tuple[Array, Array]:
     """Standalone VoxelGridCounted parity op (ref src/voxel_grid_counted.cpp).
 
     Coarse-bins intensity-carrying points; per occupied cell returns the
     total point count and the count of points with ``intensity > threshold``
-    (the reference's ``range`` output channel, :176-195).  The reference has
-    an indexing quirk in its 4th pass (it counts over positions in the
-    *sorted index vector*, :185-187 — SURVEY.md §2); this implements the
-    spec-correct behavior, which coincides with the quirk whenever the input
-    is already cell-sorted (true for its only call site's dense-export input).
+    (the reference's ``range`` output channel, :176-195).
+
+    ``compat_indexing`` reproduces the reference's 4th-pass indexing quirk
+    bug-for-bug (:185-187): the reference counts over ``input_->points[
+    first_index..last_index)`` where first/last are positions in the
+    *sorted-by-cell-id index vector*, not remapped point indices — so each
+    cell's "sure" count is actually taken over the raw input points whose
+    positions fall in that cell's sorted-rank range.  Unless the input
+    happens to be ordered by ascending cell id, counts are permuted across
+    cells (only the total is preserved).  Dense formulation via prefix sums:
+    quirk_count(c) = S[first_c + count_c] - S[first_c] with S the inclusive
+    prefix of ``intensity > threshold`` over raw input order and first_c the
+    exclusive prefix of per-cell counts in ascending cell-id order
+    (PCL ids are x-fastest, matching this grid's (z, y, x) ravel).
 
     Returns (counts, sure_counts), each int32 with ``out_shape`` (z, y, x)
     cells of size ``leaf_size`` anchored at ``origin``.
@@ -106,6 +116,21 @@ def voxel_grid_counted(
     fid = g.flat_id(
         jnp.clip(ix, 0, g.nx - 1), jnp.clip(iy, 0, g.ny - 1), jnp.clip(iz, 0, g.nz - 1)
     )
+    if compat_indexing:
+        counts = (
+            jnp.zeros((g.n_voxels,), jnp.int32)
+            .at[fid]
+            .add(inb.astype(jnp.int32), mode="drop")
+        )
+        first = jnp.cumsum(counts) - counts  # exclusive, ascending cell id
+        s = jnp.concatenate(
+            [
+                jnp.zeros((1,), jnp.int32),
+                jnp.cumsum((intensity > threshold).astype(jnp.int32)),
+            ]
+        )  # raw input order, invalid points included (ref indexes the raw array)
+        sure_counts = jnp.where(counts > 0, s[first + counts] - s[first], 0)
+        return counts.reshape(g.shape), sure_counts.reshape(g.shape)
     sure = inb & (intensity > threshold)
     w = jnp.stack([inb, sure], axis=-1).astype(jnp.int32)
     flat = jnp.zeros((g.n_voxels, 2), jnp.int32).at[fid].add(w, mode="drop")

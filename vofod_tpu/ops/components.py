@@ -71,7 +71,7 @@ def propagate_reach(
 
 def label_components_seeded(
     occupied: Array, seed: Array, radius: float, max_iters: int
-) -> tuple[Array, Array, Array]:
+) -> tuple[Array, Array, Array, Array]:
     """One propagation computing components AND seed-reachability together.
 
     The seed flag is embedded in the propagated key:
@@ -82,7 +82,10 @@ def label_components_seeded(
     vofod_nodelet.cpp:728-750) and ``key mod NV`` is a consistent component
     label — one stencil loop instead of two.
 
-    Returns (labels, seed_reached, converged); labels = SENTINEL off-mask.
+    Returns (labels, seed_reached, converged, iters): labels = SENTINEL
+    off-mask; ``iters`` is the sweep index after which the labels stopped
+    changing this call (a real measure of scene connectivity complexity —
+    ``max_iters`` when the cap was hit before the fixpoint).
     """
     occ = occupied.astype(jnp.bool_)
     nz, ny, nx = occ.shape
@@ -112,18 +115,26 @@ def label_components_seeded(
     # Waiting for min-label agreement across huge background/ring components
     # costs ~diameter/radius sweeps per scan for information nothing consumes
     # (measured: the flagship scene pins any convergence loop at its cap).
-    def body(it, keys):
+    def body(it, carry):
+        keys, iters = carry
         pooled = ball_pool_min(keys, radius)
-        return jnp.where(occ, jnp.minimum(keys, pooled), SENTINEL)
+        new = jnp.where(occ, jnp.minimum(keys, pooled), SENTINEL)
+        # record the last sweep that changed anything (cheap full-grid
+        # compare+reduce per sweep; the pools dominate)
+        iters = jnp.where(jnp.any(new != keys), it + 1, iters)
+        return new, iters
 
-    keys = jax.lax.fori_loop(0, max_iters, body, keys, unroll=4)
+    keys, iters = jax.lax.fori_loop(
+        0, max_iters, body, (keys, jnp.int32(0)), unroll=4
+    )
     # one extra sweep for the convergence diagnostic
     last = jnp.where(occ, jnp.minimum(keys, ball_pool_min(keys, radius)), SENTINEL)
     converged = jnp.all(last == keys)
     keys = last
+    iters = jnp.where(converged, iters, jnp.int32(max_iters))
     reached = occ & (keys < nv)
     labels = jnp.where(occ, jnp.where(keys < nv, keys, keys - nv), SENTINEL)
-    return labels, reached, converged, jnp.int32(max_iters)
+    return labels, reached, converged, iters
 
 
 def label_components(

@@ -29,17 +29,24 @@ Two TPU implementations:
   times T(v) — all elementwise.  No gathers, no scatters: ~1-3 ms/scan.
 
   Deviations from per-ray DDA (documented, all second-order for the EMA):
-  ray-count quantization near the footprint limit, clearing up to the
-  surface voxel instead of range - voxel_size before it, and per-pixel
-  intensity/mask gates approximated by the binary opacity grid.
+  ray-count quantization near the footprint limit and clearing up to the
+  surface voxel instead of range - voxel_size before it.  Per-pixel
+  intensity/FOV-mask gates (ref vofod_nodelet.cpp:1449-1450) are honored
+  through the **angular gate**: the per-scan active-ray image is pooled to a
+  coarse angular texture, sampled onto six world-frame cube faces (one per
+  sweep cone, gather-free one-hot matmuls), and each face is expanded
+  separably onto the voxel grid as a multiplicative ray-density factor —
+  see :func:`make_angular_gate` / :func:`gate_faces`.
 """
 
 from __future__ import annotations
 
 import math
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from vofod_tpu.geometry import GridSpec
@@ -208,6 +215,199 @@ def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Ar
     return t.astype(jnp.float32)
 
 
+# -----------------------------------------------------------------------------
+# Angular gate: per-pixel FOV-mask / intensity gates for the sweep
+# -----------------------------------------------------------------------------
+#
+# The reference skips a pixel's ray when ``intensity < min_intensity`` or when
+# the pixel is masked and has no return (ref vofod_nodelet.cpp:1449-1450), so
+# e.g. an airframe-shadow sector never clears freespace.  The sweep models ray
+# density as a continuum, so the per-pixel gate becomes a *direction-dependent
+# active-ray fraction*: raylen(v) = T(v) · density(v) · gate(dir(v)) · ...
+#
+# gate(dir) is evaluated gather-free: the [H, W] active image is mean-pooled
+# to a coarse angular texture G, G is sampled at the texels of six cube faces
+# (world-frame cone axes; tiny one-hot matmuls), and each face is expanded
+# onto the voxel grid separably (texel coords u' = lat_A/sweep, v' = lat_B/
+# sweep depend on one lateral axis each) — two small batched einsums per cone
+# group, riding the MXU.
+
+
+class AngularGate(NamedTuple):
+    """Static (trace-time) description of the pixel-lattice → angle mapping.
+
+    Built once per sensor LUT by :func:`make_angular_gate`.  The row↔elevation
+    and column↔azimuth maps are linear fits of the LUT itself — exact for the
+    ideal spherical model and the Ouster encoder-azimuth model; non-uniform
+    beam-altitude tables sample the gate slightly off-row (bounded by the
+    table's deviation from linearity, ≪ the pooled bin size for real Ousters).
+    """
+
+    el_a: float  # row_f = (el - el_b) / el_a
+    el_b: float
+    az_a: float  # col_f = (az_unwrapped - az_b) / az_a
+    az_b: float
+    pool_v: int
+    pool_h: int
+    n_rows: int  # pooled gate-texture shape
+    n_cols: int
+    col_period: float  # azimuth period in pooled-column units (wraps)
+    face_dirs: np.ndarray  # [6, F, F, 3] world-frame cube-face texel dirs
+
+
+def _largest_divisor_leq(n: int, k: int) -> int:
+    for d in range(max(1, min(n, k)), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _face_dirs(face_res: int) -> np.ndarray:
+    """[6, F, F, 3] unit directions for cube-face texels, face order matching
+    the sweep's cone stacking: x+, x-, y+, y-, z+, z-.  Texel (i, j) sits at
+    lateral-ratio coords u' = rel_A/rel_sweep, v' = rel_B/rel_sweep in
+    [-1, 1]² (x cones: A=z, B=y; y cones: A=z, B=x; z cones: A=y, B=x)."""
+    F = face_res
+    u = np.linspace(-1.0, 1.0, F)
+    U, V = np.meshgrid(u, u, indexing="ij")  # U = u' (axis A), V = v' (axis B)
+    one = np.ones_like(U)
+    faces = np.stack(
+        [
+            np.stack([one, V, U], -1),  # x+
+            np.stack([-one, V, U], -1),  # x-
+            np.stack([V, one, U], -1),  # y+
+            np.stack([V, -one, U], -1),  # y-
+            np.stack([V, U, one], -1),  # z+
+            np.stack([V, U, -one], -1),  # z-
+        ]
+    )
+    return (faces / np.linalg.norm(faces, axis=-1, keepdims=True)).astype(
+        np.float32
+    )
+
+
+def make_angular_gate(
+    lut,
+    *,
+    face_res: int = 33,
+    target_rows: int = 32,
+    target_cols: int = 128,
+) -> AngularGate:
+    """Fit the pixel↔angle maps from the sensor LUT (a static constant)."""
+    H, W = lut.height, lut.width
+    dirs = np.asarray(lut.directions, np.float64).reshape(H, W, 3)
+
+    el_row = np.arcsin(np.clip(dirs[..., 2], -1.0, 1.0)).mean(axis=1)  # [H]
+    if H > 1:
+        el_a, el_b = np.polyfit(np.arange(H), el_row, 1)
+    else:
+        el_a, el_b = 1.0, float(el_row[0])
+
+    mid = dirs[H // 2]
+    az_col = np.unwrap(np.arctan2(mid[:, 1], mid[:, 0]))
+    if W > 1:
+        az_a, az_b = np.polyfit(np.arange(W), az_col, 1)
+    else:
+        az_a, az_b = 1.0, float(az_col[0])
+
+    pool_v = _largest_divisor_leq(H, max(1, H // target_rows))
+    pool_h = _largest_divisor_leq(W, max(1, W // target_cols))
+    return AngularGate(
+        el_a=float(el_a),
+        el_b=float(el_b),
+        az_a=float(az_a),
+        az_b=float(az_b),
+        pool_v=pool_v,
+        pool_h=pool_h,
+        n_rows=H // pool_v,
+        n_cols=W // pool_h,
+        col_period=float(2.0 * np.pi / abs(az_a) / pool_h),
+        face_dirs=_face_dirs(face_res),
+    )
+
+
+def gate_faces(gate: AngularGate, active_hw: Array, rot_s2w: Array) -> Array:
+    """Sample the pooled active-ray fraction onto the six cube faces.
+
+    Args:
+      active_hw: [H, W] bool/float — pixels that actually cast a ray this
+        scan: ``(intensity >= min_intensity) & (mask | range > 0)``
+        (ref vofod_nodelet.cpp:1449-1450).
+      rot_s2w: [3, 3] sensor-to-world rotation (traced).
+
+    Returns: float32 [6, F, F] active fraction per face texel; 0 outside the
+      sensor's vertical FOV (which also makes the gate the accurate FOV
+      window).  Gather-free: tent weights + two small matmuls.
+    """
+    H, W = active_hw.shape
+    G = (
+        active_hw.astype(jnp.float32)
+        .reshape(gate.n_rows, gate.pool_v, gate.n_cols, gate.pool_h)
+        .mean(axis=(1, 3))
+    )  # [V', H']
+
+    d_w = jnp.asarray(gate.face_dirs.reshape(-1, 3))  # [P, 3] static
+    d_s = d_w @ rot_s2w  # sensor frame: s = Rᵀ w  (row-vector form)
+    el = jnp.arcsin(jnp.clip(d_s[:, 2], -1.0, 1.0))
+    az = jnp.arctan2(d_s[:, 1], d_s[:, 0])
+
+    g_r = ((el - gate.el_b) / gate.el_a + 0.5) / gate.pool_v - 0.5  # [P]
+    g_c = jnp.mod(
+        ((az - gate.az_b) / gate.az_a + 0.5) / gate.pool_h - 0.5,
+        gate.col_period,
+    )
+
+    kr = jnp.arange(gate.n_rows, dtype=jnp.float32)
+    kc = jnp.arange(gate.n_cols, dtype=jnp.float32)
+    # rows: plain tent, weights vanish outside the FOV (no clamping)
+    w_r = jnp.maximum(0.0, 1.0 - jnp.abs(g_r[:, None] - kr[None, :]))
+    # cols: circular tent with the true azimuth period
+    d0 = jnp.abs(g_c[:, None] - kc[None, :])
+    dwrap = jnp.minimum(
+        d0,
+        jnp.minimum(
+            jnp.abs(g_c[:, None] - gate.col_period - kc[None, :]),
+            jnp.abs(g_c[:, None] + gate.col_period - kc[None, :]),
+        ),
+    )
+    w_c = jnp.maximum(0.0, 1.0 - dwrap)
+    # normalize azimuth weights: when the azimuth period is not an integer
+    # number of pooled columns (e.g. the sim LUT duplicates the seam column)
+    # the wrap tents overlap/gap slightly at the seam
+    w_c = w_c / jnp.maximum(w_c.sum(axis=-1, keepdims=True), 1e-6)
+
+    vals = jnp.sum(w_r * (w_c @ G.T), axis=-1)  # [P]
+    F = gate.face_dirs.shape[1]
+    return vals.reshape(6, F, F)
+
+
+def _expand_gate(faces: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Array:
+    """Expand per-cone face textures onto the stacked sweep layout.
+
+    faces: [C, F, F]; rel_s: [nS, C]; rel_a: [C, nA]; rel_b: [C, nB]
+    -> [nS, C, nA, nB] multiplicative gate factor (valid inside each cone;
+    planes at/behind the sensor produce garbage that the cone partition
+    discards, exactly like the transmittance itself).
+    """
+    F = faces.shape[-1]
+    rs = jnp.where(jnp.abs(rel_s) < 0.5, 0.5, rel_s)  # [nS, C]
+    u = jnp.clip(rel_a[None, :, :] / rs[:, :, None], -1.0, 1.0)  # [nS, C, nA]
+    v = jnp.clip(rel_b[None, :, :] / rs[:, :, None], -1.0, 1.0)  # [nS, C, nB]
+
+    k = jnp.arange(F, dtype=jnp.float32)
+
+    def tent(x):
+        g = (x + 1.0) * ((F - 1) / 2.0)
+        return jnp.maximum(0.0, 1.0 - jnp.abs(g[..., None] - k)).astype(
+            jnp.bfloat16
+        )
+
+    wu = tent(u)  # [nS, C, nA, F]
+    wv = tent(v)  # [nS, C, nB, F]
+    tmp = jnp.einsum("scaf,cfg->scag", wu, faces.astype(jnp.bfloat16))
+    return jnp.einsum("scag,scbg->scab", tmp, wv).astype(jnp.float32)
+
+
 def raycast_sweep(
     grid: GridSpec,
     opaque: Array,
@@ -218,6 +418,7 @@ def raycast_sweep(
     vertical_fov: float,
     v_rays: int,
     h_rays: int,
+    gate: Array | None = None,
 ) -> Array:
     """Gather-free accumulated-ray-length field (see module docstring).
 
@@ -231,6 +432,10 @@ def raycast_sweep(
       vertical_fov, v_rays, h_rays: static sensor angular geometry used for
         the per-steradian ray density (ideal spherical model,
         ref initialize_sensor_lut_simulation :374-420).
+      gate: optional [6, F, F] per-cone active-ray-fraction faces from
+        :func:`gate_faces` — honors the reference's per-pixel FOV-mask and
+        intensity gates (ref vofod_nodelet.cpp:1449-1450) as a multiplicative
+        ray-density factor.
 
     Returns: float32 (nz, ny, nx) raylen field (≈ sum of ray chord lengths).
     """
@@ -298,6 +503,8 @@ def raycast_sweep(
         ]
     )  # [4, pb]
     t_a = _sweep_cones(planes_a, rs_a, ra_a, rb_a)
+    if gate is not None:
+        t_a = t_a * _expand_gate(gate[:4], rs_a, ra_a, rb_a)
     tx_f = jnp.moveaxis(t_a[:nx, 0, :, :ny], 0, 2)  # -> (nz, ny, nx)
     tx_b = jnp.moveaxis(t_a[:nx, 1, :, :ny][::-1], 0, 2)
     ty_f = jnp.moveaxis(t_a[:ny, 2, :, :nx], 0, 1)  # -> (nz, ny, nx)
@@ -308,6 +515,8 @@ def raycast_sweep(
     ra_z = jnp.broadcast_to(rel_y[None, :], (2, ny))
     rb_z = jnp.broadcast_to(rel_x[None, :], (2, nx))
     t_z = _sweep_cones(planes_z, rs_z, ra_z, rb_z)
+    if gate is not None:
+        t_z = t_z * _expand_gate(gate[4:], rs_z, ra_z, rb_z)
     tz_f, tz_b = t_z[:, 0], t_z[::-1, 1]
 
     # --- cone partition (priority x > y > z on ties) --------------------------

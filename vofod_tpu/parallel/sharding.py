@@ -4,9 +4,16 @@ The reference's concurrency is threads over one shared map on one machine
 (SURVEY.md §2 parallelism inventory).  The TPU-native scaling axes are:
 
 * **Stream data-parallelism** (production serving): one detector state per
-  sensor stream, batched with vmap and sharded over the mesh "data" axis —
-  N independent UAV/sensor feeds per pod slice, zero cross-chip traffic in
-  steady state.  :func:`make_batched_step` builds this.
+  sensor stream, sharded over the mesh "data" axis with shard_map — N
+  independent UAV/sensor feeds per pod slice, zero cross-chip traffic in
+  steady state.  :func:`make_batched_step` builds this.  Inside each shard
+  the local streams run through the UNBATCHED step under lax.scan
+  (sequential per chip): vmap-batching the step was measured to be a 2.5x
+  pessimization on one chip (B=2: 59 vs 151 scans/s total, DESIGN.md §6 —
+  the explore submap dynamic-slices and compaction row-gathers lower to
+  serialized batched gathers), while the scan keeps every stream's program
+  identical to the single-stream hot path, so per-chip throughput is exactly
+  serial and scaling across chips is linear.
 
 * **Grid sharding** (single giant operation areas): the dense grid is split
   along Z across chips; stencil ops exchange halos over ICI with
@@ -58,24 +65,44 @@ def make_batched_step(
     axis: str = "data",
     **step_kw,
 ):
-    """vmapped step, jitted with batch-dim sharding over the mesh.
+    """Stream-sharded step: shard_map over the mesh, lax.scan per shard.
 
-    The per-stream step is embarrassingly parallel; XLA partitions every array
-    on the leading (stream) dim, so each chip runs its streams' full pipeline
-    locally and no collectives appear on the hot path.
+    Each chip owns B/D streams and runs the UNBATCHED step program for each,
+    sequentially — no collectives on the hot path, no batched-gather lowering
+    (see module docstring for the measured vmap pessimization this replaces).
+    The batch size must be divisible by the mesh axis size.
     """
     step = make_step_fn(cfg, lut, donate=False, jit=False, **step_kw)
+    n = mesh.shape[axis]
 
-    vstep = jax.vmap(step, in_axes=(0, 0, None))
-    shard = NamedSharding(mesh, P(axis))
-    repl = NamedSharding(mesh, P())
+    def local_block(state_blk, scan_blk, dyn):
+        # leaves have leading dim B/D (the chip's local streams)
+        def body(_, args):
+            st, sc = args
+            new_st, out = step(st, sc, dyn)
+            return None, (new_st, out)
 
-    return jax.jit(
-        vstep,
-        in_shardings=(shard, shard, repl),  # pytree prefixes
-        out_shardings=(shard, shard),
-        donate_argnums=(0,),
+        _, (new_states, outs) = jax.lax.scan(body, None, (state_blk, scan_blk))
+        return new_states, outs
+
+    sharded = shard_map(
+        local_block,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),  # pytree prefixes
+        out_specs=(P(axis), P(axis)),
+        # the block is fully local (no collectives); the step's internal
+        # while/fori carries start from unvarying constants, which the
+        # varying-manual-axes checker would reject
+        check_vma=False,
     )
+
+    def checked(state, scans, dyn):
+        b = jax.tree.leaves(scans)[0].shape[0]
+        if b % n:
+            raise ValueError(f"batch {b} not divisible by mesh axis size {n}")
+        return sharded(state, scans, dyn)
+
+    return jax.jit(checked, donate_argnums=(0,))
 
 
 # =============================================================================

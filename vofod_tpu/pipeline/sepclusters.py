@@ -26,6 +26,21 @@ TPU formulation (dense, gather/scatter-free):
   downsample uses leaf size 1 index unit (:1162-1167) — an identity binning —
   so it is not reproduced; for other voxel sizes this is a second documented
   deviation.
+
+**Exact-census mode** (``cfg.sepclusters_exact_census``): bit-parity
+re-implementation of the reference path — coarse counted binning
+(ref :1162-1167), component labeling run to convergence, per-component
+sure-voxel census (ref :1174-1183) and demotion stamped around coarse cell
+centers (ref :1210-1272) — as :func:`run_sepclusters_exact`.  Slower (label
+convergence over large background components is data-dependent) but exact,
+including, behind ``cfg.compat_counted_indexing``, the reference's
+VoxelGridCounted indexing quirk (voxel_grid_counted.cpp:185-187): the 4th
+pass counts over *raw input positions* in the sorted-by-cell-id rank range,
+and since the voxel export iterates z-fastest (voxel_map.cpp:190-196) while
+PCL cell ids are x-fastest, the quirk permutes sure counts across cells even
+at leaf size 1.  Documented deviation in exact mode: the coarse lattice is
+anchored at the grid origin, not at PCL's data minimum (identical membership
+for leaf 1; ≤1-cell shift otherwise).
 """
 
 from __future__ import annotations
@@ -36,7 +51,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from vofod_tpu.config import DynParams, VoFODConfig
-from vofod_tpu.ops.components import propagate_reach
+from vofod_tpu.ops.components import SENTINEL, label_components, propagate_reach
 from vofod_tpu.ops.morphology import ball_pool_max, ball_pool_sum
 
 Array = jnp.ndarray
@@ -57,6 +72,8 @@ def run_sepclusters(
     its_diff: Array,
     max_iters: int = 8,
 ) -> SepClustersOut:
+    if cfg.sepclusters_exact_census:
+        return run_sepclusters_exact(cfg, dyn, grid_vals, prev_safe, its_diff)
     max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
     adj_radius = math.ceil(max_dist_idx)  # cluster tolerance in index units
 
@@ -84,6 +101,155 @@ def run_sepclusters(
         w1 * grid_vals + (1.0 - w1) * dyn.score_ray,
         grid_vals,
     )
+    return SepClustersOut(
+        grid=new_vals,
+        safe=safe,
+        sure_bg_sufficient=sure_sufficient,
+        converged=converged,
+    )
+
+
+# =============================================================================
+# Exact-census mode (bit-parity with ref vofod_nodelet.cpp:1124-1294)
+# =============================================================================
+
+
+def _pool_sum_coarse(mask: Array, lsz: int) -> Array:
+    """Sum-pool a fine (nz, ny, nx) int grid into lsz³ coarse cells anchored
+    at the grid origin (pad-to-multiple then reshape — no scatters)."""
+    nz, ny, nx = mask.shape
+    pz, py, px = (-nz) % lsz, (-ny) % lsz, (-nx) % lsz
+    m = jnp.pad(mask, ((0, pz), (0, py), (0, px)))
+    ncz, ncy, ncx = (nz + pz) // lsz, (ny + py) // lsz, (nx + px) // lsz
+    return m.reshape(ncz, lsz, ncy, lsz, ncx, lsz).sum(axis=(1, 3, 5))
+
+
+def _upsample_coarse(mask_c: Array, lsz: int, fine_shape) -> Array:
+    """Broadcast a coarse mask back onto the fine lattice (inverse of
+    :func:`_pool_sum_coarse` membership)."""
+    ncz, ncy, ncx = mask_c.shape
+    m = jnp.broadcast_to(
+        mask_c[:, None, :, None, :, None],
+        (ncz, lsz, ncy, lsz, ncx, lsz),
+    ).reshape(ncz * lsz, ncy * lsz, ncx * lsz)
+    nz, ny, nx = fine_shape
+    return m[:nz, :ny, :nx]
+
+
+def _center_mask(mask_c: Array, lsz: int, fine_shape) -> Array:
+    """Fine-lattice mask holding one True per coarse cell, at the coarse cell
+    center cast to int: ijk*lsz + lsz//2 (ref demotion positions,
+    vofod_nodelet.cpp:1253 ``getVector3fMap().cast<int>()``)."""
+    ncz, ncy, ncx = mask_c.shape
+    pat = jnp.zeros((lsz,), bool).at[lsz // 2].set(True)
+    m = (
+        mask_c[:, None, :, None, :, None]
+        & pat[None, :, None, None, None, None]
+        & pat[None, None, None, :, None, None]
+        & pat[None, None, None, None, None, :]
+    ).reshape(ncz * lsz, ncy * lsz, ncx * lsz)
+    nz, ny, nx = fine_shape
+    return m[:nz, :ny, :nx]
+
+
+def _quirk_sure_counts(bg: Array, sure: Array, lsz: int) -> Array:
+    """Per-coarse-cell "sure" counts with the reference's VoxelGridCounted
+    indexing quirk (voxel_grid_counted.cpp:185-187), bug-for-bug.
+
+    The reference exports bg voxels as points iterating x-outer/z-fastest
+    (voxel_map.cpp:190-196), sorts them by PCL cell id (x-fastest), and then
+    counts ``intensity > threshold`` over *raw export positions* in each
+    cell's sorted-rank range — i.e. per-cell counts are permuted through the
+    rank map.  Dense formulation via prefix sums: for cell c with sorted-rank
+    range [first_c, first_c + count_c), quirk count = U[first+count] -
+    U[first] where U[k] = number of sure voxels among the first k exported.
+    """
+    nzf, nyf, nxf = bg.shape
+    # export order: x outer, y, z fastest
+    bg_e = jnp.transpose(bg, (2, 1, 0)).reshape(-1)
+    sure_e = jnp.transpose(sure & bg, (2, 1, 0)).reshape(-1).astype(jnp.int32)
+    nv = bg_e.size
+    t = jnp.cumsum(sure_e * bg_e)  # sure among exported up to position i
+    rank = jnp.cumsum(bg_e.astype(jnp.int32))  # 1-based rank at bg positions
+    u = (
+        jnp.zeros((nv + 2,), jnp.int32)
+        .at[jnp.where(bg_e, rank, nv + 1)]
+        .set(t, mode="drop")
+    )  # u[0] = 0; u[k] defined for every k <= #bg
+    counts_c = _pool_sum_coarse(bg.astype(jnp.int32), lsz)
+    # ascending PCL cell-id order == our (z, y, x) ravel (x fastest)
+    cf = counts_c.reshape(-1)
+    first = jnp.cumsum(cf) - cf  # exclusive prefix
+    quirk = u[first + cf] - u[first]
+    return jnp.where(cf > 0, quirk, 0).reshape(counts_c.shape)
+
+
+def run_sepclusters_exact(
+    cfg: VoFODConfig,
+    dyn: DynParams,
+    grid_vals: Array,
+    prev_safe: Array,
+    its_diff: Array,
+    max_label_iters: int = 128,
+) -> SepClustersOut:
+    """Reference-exact separated-background maintenance (see module
+    docstring).  Opt-in via ``cfg.sepclusters_exact_census``; the label
+    propagation runs to convergence (bounded by ``max_label_iters``), so cost
+    is data-dependent — use the default local-density mode for production.
+    """
+    max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
+    mv = math.ceil(max_dist_idx)  # max_voxel_dist (ref :1143)
+    # ref :1162: leaf = max(max_voxel_dist - 1, 0); PCL breaks at 0, so the
+    # only meaningful interpretation (and the shipped config) is >= 1
+    lsz = max(mv - 1, 1)
+
+    bg = grid_vals > dyn.thr_new_obstacles
+    sure = grid_vals > dyn.thr_sure_obstacles
+
+    counts_c = _pool_sum_coarse(bg.astype(jnp.int32), lsz)
+    if cfg.compat_counted_indexing:
+        sure_c = _quirk_sure_counts(bg, sure, lsz)
+    else:
+        sure_c = _pool_sum_coarse((bg & sure).astype(jnp.int32), lsz)
+    occ_c = counts_c > 0
+
+    # cluster coarse cells at tolerance max_voxel_dist on cell centers
+    # (ref :1171): centers are lsz apart, so adjacency radius = mv / lsz
+    labels, converged = label_components(occ_c, mv / lsz, max_label_iters)
+
+    # per-component census: sum sure counts into the component root
+    ncv = labels.size
+    lf = labels.reshape(-1)
+    census = (
+        jnp.zeros((ncv,), jnp.int32)
+        .at[lf]
+        .add(jnp.where(occ_c.reshape(-1), sure_c.reshape(-1), 0), mode="drop")
+    )
+    cell_census = jnp.where(
+        occ_c.reshape(-1), census[jnp.minimum(lf, ncv - 1)], 0
+    ).reshape(occ_c.shape)
+
+    min_sure = dyn.sepclusters_min_sure_points
+    sure_cluster_c = occ_c & (cell_census.astype(jnp.float32) >= min_sure)
+    sure_sufficient = jnp.any(sure_cluster_c)
+    unsure_c = occ_c & ~sure_cluster_c
+
+    # demotion ball around each unsure coarse cell CENTER (ref :1219-1260).
+    # The reference EMA-updates the live map once per (cell, offset) pair, so
+    # a voxel covered by k overlapping balls is demoted k times — repeated
+    # EMA toward the same target composes to w1^k (ref :1240-1260).
+    centers = _center_mask(unsure_c, lsz, bg.shape)
+    k = ball_pool_sum(centers.astype(jnp.int32), max_dist_idx)
+
+    w1 = jnp.clip(jnp.power(0.5, its_diff), 0.0, 1.0)  # ref :1242-1244
+    w1k = jnp.power(w1, k.astype(jnp.float32))  # k = 0 -> identity
+    new_vals = jnp.where(
+        sure_sufficient,
+        w1k * grid_vals + (1.0 - w1k) * dyn.score_ray,
+        grid_vals,
+    )
+    # carried "safe" state keeps its meaning: member of a sure cluster
+    safe = bg & _upsample_coarse(sure_cluster_c, lsz, bg.shape)
     return SepClustersOut(
         grid=new_vals,
         safe=safe,

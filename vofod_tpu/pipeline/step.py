@@ -27,7 +27,12 @@ import jax.numpy as jnp
 
 from vofod_tpu.config import DynParams, VoFODConfig
 from vofod_tpu.geometry import GridSpec
-from vofod_tpu.ops.raycast import raycast_dda, raycast_sweep
+from vofod_tpu.ops.raycast import (
+    gate_faces,
+    make_angular_gate,
+    raycast_dda,
+    raycast_sweep,
+)
 from vofod_tpu.pipeline.background import split_and_update
 from vofod_tpu.pipeline.classify import classify
 from vofod_tpu.pipeline.detect import extract_detections
@@ -88,6 +93,7 @@ def make_step_fn(
     donate: bool = True,
     jit: bool = True,
     mask=None,
+    raycast_gate: bool = True,
 ) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
     """Build (or fetch from the process-level cache) the jitted step.
 
@@ -104,6 +110,7 @@ def make_step_fn(
         raycast_every,
         donate,
         jit,
+        raycast_gate,
         hashlib.sha1(lut.directions.tobytes() + lut.offsets.tobytes()).hexdigest(),
         hashlib.sha1(
             b"" if mask is None else __import__("numpy").asarray(mask).tobytes()
@@ -114,7 +121,7 @@ def make_step_fn(
         return cached
     fn = _make_step_fn(
         cfg, lut, raycast_mode=raycast_mode, raycast_every=raycast_every,
-        donate=donate, jit=jit, mask=mask,
+        donate=donate, jit=jit, mask=mask, raycast_gate=raycast_gate,
     )
     _STEP_CACHE[key] = fn
     return fn
@@ -129,6 +136,8 @@ def _make_step_fn(
     donate: bool = True,
     jit: bool = True,
     mask=None,
+    raycast_gate: bool = True,
+    _return_stages: bool = False,
 ) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
     """Build the jitted step function.
 
@@ -140,8 +149,9 @@ def _make_step_fn(
       under load and compensates identically, ref :1540-1548).
     mask: optional uint8/bool [H*W] FOV mask (1 = usable).  Gates the exact
       raycast like the reference (skip when masked AND no return,
-      ref :1449-1450); the sweep mode approximates per-pixel masks by the
-      opacity grid (DESIGN.md §3).
+      ref :1449-1450); with ``raycast_gate`` (default) the sweep honors the
+      same per-pixel mask/intensity gates through the angular gate factor
+      (ops/raycast.py gate_faces).
     """
     grid = GridSpec.from_config(cfg)
     lut_dirs = jnp.asarray(lut.directions)
@@ -151,13 +161,17 @@ def _make_step_fn(
         if mask is not None
         else jnp.ones((cfg.sensor.n_points,), jnp.bool_)
     )
+    gate_spec = (
+        make_angular_gate(lut)
+        if (raycast_gate and raycast_mode == "sweep")
+        else None
+    )
 
-    def step(
-        state: VoFODState, scan: ScanInput, dyn: DynParams
-    ) -> tuple[VoFODState, StepOutput]:
+    def cnc_stage(state: VoFODState, scan: ScanInput, dyn: DynParams):
+        """Stages 1-5: frontend, split+point update, classify, detections
+        (the reference's detection thread == routine CNC)."""
         pose = scan.pose
         sensor_pos = pose[:3, 3]
-        rot = pose[:3, :3]
 
         # 1. frontend
         fe = run_frontend(cfg, grid, lut_dirs, lut_offs, scan.ranges_mm, pose)
@@ -184,56 +198,81 @@ def _make_step_fn(
             cfg, dyn, grid, cls.grid, cls.labels, bg.far, cls, sensor_pos,
             state.det_counter,
         )
+        return fe, bg, cls, dets, det_counter
 
-        # 6. raycast freespace update
-        vals = cls.grid
-        if raycast_mode != "off":
-            do_ray = (
-                (~dyn.raycast_pause)
-                & grid.in_limits(sensor_pos[None, :])[0]
-                & (jnp.mod(state.step, raycast_every) == raycast_every - 1
-                   if raycast_every > 1 else jnp.bool_(True))
+    def ray_stage(
+        scan: ScanInput, dyn: DynParams, step_idx, vals, occupied, blockers
+    ):
+        """Stage 6: freespace raycast + flag-guarded ray EMA update
+        (the reference's raycast thread == routine RAYCASTING)."""
+        if raycast_mode == "off":
+            return vals
+        pose = scan.pose
+        sensor_pos = pose[:3, 3]
+        rot = pose[:3, :3]
+        do_ray = (
+            (~dyn.raycast_pause)
+            & grid.in_limits(sensor_pos[None, :])[0]
+            & (jnp.mod(step_idx, raycast_every) == raycast_every - 1
+               if raycast_every > 1 else jnp.bool_(True))
+        )
+
+        def with_ray(vals):
+            if raycast_mode == "exact":
+                r = scan.ranges_mm.astype(jnp.float32) * RANGE_TO_METERS
+                dirs_w = lut_dirs @ rot.T
+                starts = lut_offs @ rot.T + sensor_pos[None, :]
+                max_d = dyn.raycast_max_distance
+                lengths = jnp.where(
+                    r == 0.0, max_d, jnp.minimum(r - cfg.voxel_size, max_d)
+                )
+                rvalid = (
+                    (scan.intensity >= dyn.raycast_min_intensity)
+                    & (mask_dev | (r > 0))  # ref :1449-1450
+                    & grid.in_limits(starts)
+                )
+                raylen = raycast_dda(
+                    grid, starts, dirs_w, lengths, rvalid,
+                    max_length=cfg.raycast_max_distance_bound,
+                )
+            else:
+                faces = None
+                if gate_spec is not None:
+                    r = scan.ranges_mm.astype(jnp.float32) * RANGE_TO_METERS
+                    active = (
+                        scan.intensity >= dyn.raycast_min_intensity
+                    ) & (mask_dev | (r > 0))  # ref :1449-1450
+                    faces = gate_faces(
+                        gate_spec,
+                        active.reshape(
+                            cfg.sensor.vertical_rays,
+                            cfg.sensor.horizontal_rays,
+                        ),
+                        rot,
+                    )
+                raylen = raycast_sweep(
+                    grid,
+                    blockers,
+                    sensor_pos,
+                    rot,
+                    max_distance=dyn.raycast_max_distance,
+                    vertical_fov=cfg.sensor.vertical_fov,
+                    v_rays=cfg.sensor.vertical_rays,
+                    h_rays=cfg.sensor.horizontal_rays,
+                    gate=faces,
+                )
+            return ray_update(
+                cfg, dyn, vals, raylen, occupied,
+                jnp.float32(raycast_every),
             )
 
-            def with_ray(vals):
-                if raycast_mode == "exact":
-                    r = scan.ranges_mm.astype(jnp.float32) * RANGE_TO_METERS
-                    dirs_w = lut_dirs @ rot.T
-                    starts = lut_offs @ rot.T + sensor_pos[None, :]
-                    max_d = dyn.raycast_max_distance
-                    lengths = jnp.where(
-                        r == 0.0, max_d, jnp.minimum(r - cfg.voxel_size, max_d)
-                    )
-                    rvalid = (
-                        (scan.intensity >= dyn.raycast_min_intensity)
-                        & (mask_dev | (r > 0))  # ref :1449-1450
-                        & grid.in_limits(starts)
-                    )
-                    raylen = raycast_dda(
-                        grid, starts, dirs_w, lengths, rvalid,
-                        max_length=cfg.raycast_max_distance_bound,
-                    )
-                else:
-                    raylen = raycast_sweep(
-                        grid,
-                        fe.blockers,
-                        sensor_pos,
-                        rot,
-                        max_distance=dyn.raycast_max_distance,
-                        vertical_fov=cfg.sensor.vertical_fov,
-                        v_rays=cfg.sensor.vertical_rays,
-                        h_rays=cfg.sensor.horizontal_rays,
-                    )
-                return ray_update(
-                    cfg, dyn, vals, raylen, bg.occupied,
-                    jnp.float32(raycast_every),
-                )
+        return jax.lax.cond(do_ray, with_ray, lambda v: v, vals)
 
-            vals = jax.lax.cond(do_ray, with_ray, lambda v: v, vals)
-
-        # 7. separated-background maintenance
+    def sep_stage(dyn: DynParams, step_idx, vals, safe, sure_bg_prev):
+        """Stage 7: separated-background maintenance
+        (the reference's bgclusters thread == routine SEPBGCLUSTERS)."""
         run_sep = (
-            (jnp.mod(state.step, cfg.sepclusters_every) == 0)
+            (jnp.mod(step_idx, cfg.sepclusters_every) == 0)
             & ~dyn.sepclusters_pause
         )
 
@@ -246,12 +285,12 @@ def _make_step_fn(
 
         def without_sep(args):
             vals, safe = args
-            return vals, safe, state.sure_bg_sufficient, jnp.bool_(True)
+            return vals, safe, sure_bg_prev, jnp.bool_(True)
 
-        vals, safe, sure_bg, sep_conv = jax.lax.cond(
-            run_sep, with_sep, without_sep, (vals, state.safe)
-        )
+        return jax.lax.cond(run_sep, with_sep, without_sep, (vals, safe))
 
+    def assemble(state, bg, cls, dets, det_counter, vals, safe, sure_bg,
+                 sep_conv):
         new_state = VoFODState(
             grid=vals,
             safe=safe,
@@ -274,7 +313,72 @@ def _make_step_fn(
         )
         return new_state, StepOutput(detections=dets, diag=diag)
 
+    def step(
+        state: VoFODState, scan: ScanInput, dyn: DynParams
+    ) -> tuple[VoFODState, StepOutput]:
+        fe, bg, cls, dets, det_counter = cnc_stage(state, scan, dyn)
+        vals = ray_stage(
+            scan, dyn, state.step, cls.grid, bg.occupied, fe.blockers
+        )
+        vals, safe, sure_bg, sep_conv = sep_stage(
+            dyn, state.step, vals, state.safe, state.sure_bg_sufficient
+        )
+        return assemble(
+            state, bg, cls, dets, det_counter, vals, safe, sure_bg, sep_conv
+        )
+
+    if _return_stages:
+        return cnc_stage, ray_stage, sep_stage, assemble
     if not jit:
         return step
     donate_argnums = (0,) if donate else ()
     return jax.jit(step, donate_argnums=donate_argnums)
+
+
+class StagedStep:
+    """The same pipeline as three separately-jitted dispatches (CNC /
+    RAYCASTING / SEPBGCLUSTERS), blocking between stages — for attributing
+    REAL per-routine device times to the ProfilingInfo stream (the reference
+    publishes per-thread START/END events, vofod_nodelet.cpp:2178-2203).
+
+    Composes to exactly the fused step's result (tested bit-for-bit); costs
+    two extra dispatch boundaries, so it is the profiling mode, not the
+    production path.  ``last_timings`` holds {"cnc", "raycasting",
+    "sepbgclusters"} wall durations (seconds) of the latest call.
+    """
+
+    def __init__(self, cfg: VoFODConfig, lut: XyzLut, **kw):
+        cnc, ray, sep, assemble = _make_step_fn(
+            cfg, lut, donate=False, jit=False, _return_stages=True, **kw
+        )
+        self._cnc = jax.jit(cnc)
+        self._ray = jax.jit(ray)
+        self._sep = jax.jit(sep)
+        self._assemble = assemble
+        self.last_timings: dict[str, float] = {}
+
+    def __call__(
+        self, state: VoFODState, scan: ScanInput, dyn: DynParams
+    ) -> tuple[VoFODState, StepOutput]:
+        import time
+
+        t0 = time.perf_counter()
+        fe, bg, cls, dets, det_counter = jax.block_until_ready(
+            self._cnc(state, scan, dyn)
+        )
+        t1 = time.perf_counter()
+        vals = jax.block_until_ready(
+            self._ray(scan, dyn, state.step, cls.grid, bg.occupied, fe.blockers)
+        )
+        t2 = time.perf_counter()
+        vals, safe, sure_bg, sep_conv = jax.block_until_ready(
+            self._sep(dyn, state.step, vals, state.safe,
+                      state.sure_bg_sufficient)
+        )
+        t3 = time.perf_counter()
+        self.last_timings = {
+            "cnc": t1 - t0, "raycasting": t2 - t1, "sepbgclusters": t3 - t2
+        }
+        return self._assemble(
+            state, bg, cls, dets, det_counter, vals, safe, sure_bg, sep_conv
+        )

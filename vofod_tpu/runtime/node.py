@@ -35,6 +35,11 @@ class NodeOptions:
     mask_path: str = ""  # FOV mask (ref raycast/mask_filename)
     mask_mangle: bool = False  # destagger+transpose quirk (ref :527-543)
     check_consistency: bool = False  # LUT vs points check (ref :1869-1917)
+    # run the pipeline as three separately-timed dispatches so the
+    # ProfilingInfo routine events carry REAL per-stage device durations
+    # (the profiling mode; the fused default emits sequence-only markers
+    # for RAYCASTING/SEPBGCLUSTERS — see process_scan)
+    profile_stages: bool = False
 
 
 class VoFOD:
@@ -61,13 +66,24 @@ class VoFOD:
             self.cfg.sensor.vertical_rays,
             mangle=self.options.mask_mangle,
         )
-        self._step = make_step_fn(
-            self.cfg,
-            self.lut,
-            raycast_mode=self.options.raycast_mode,
-            raycast_every=self.options.raycast_every,
-            mask=self.mask,
-        )
+        if self.options.profile_stages:
+            from vofod_tpu.pipeline.step import StagedStep
+
+            self._step = StagedStep(
+                self.cfg,
+                self.lut,
+                raycast_mode=self.options.raycast_mode,
+                raycast_every=self.options.raycast_every,
+                mask=self.mask,
+            )
+        else:
+            self._step = make_step_fn(
+                self.cfg,
+                self.lut,
+                raycast_mode=self.options.raycast_mode,
+                raycast_every=self.options.raycast_every,
+                mask=self.mask,
+            )
         self._rangefinder_update = jax.jit(self._make_rangefinder_update())
         self.state: VoFODState = init_state(self.cfg, self.dyn)
         self._apriori_loaded = False
@@ -120,25 +136,58 @@ class VoFOD:
             pose=jnp.asarray(np.asarray(pose, np.float32)),
         )
         stimer.checkpoint("upload")
-        with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
-            self.state, out = self._step(self.state, scan, self.dyn)
+        if self.options.profile_stages:
+            # staged pipeline: three timed dispatches -> routine events with
+            # REAL per-stage device durations (ref per-thread events,
+            # vofod_nodelet.cpp:2178-2203)
+            self.state, out = self._emit_staged(scan)
+        else:
+            with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
+                self.state, out = self._step(self.state, scan, self.dyn)
         stimer.checkpoint("dispatch")
         self.last_diag = jax.device_get(out.diag)
         stimer.checkpoint("readback")
         self.last_scope_timer = stimer
         self._log_throttled()
-        # the fused step subsumes the reference's raycast and sepclusters
-        # threads; emit their START/END markers so downstream ProfilingInfo
-        # consumers see the same routine stream (ref :2178-2203)
-        if self.options.raycast_mode != "off" and not self.dyn.raycast_pause:
-            with self.profiling.routine(ProfilingInfo.ROUTINE_RAYCASTING):
-                pass
-        if int(self.state.step) % self.cfg.sepclusters_every == 1 % max(
-            self.cfg.sepclusters_every, 1
-        ) or self.cfg.sepclusters_every == 1:
-            with self.profiling.routine(ProfilingInfo.ROUTINE_SEPBGCLUSTERS):
-                pass
+        if not self.options.profile_stages:
+            # the fused step subsumes the reference's raycast and sepclusters
+            # threads; emit their START/END markers so downstream
+            # ProfilingInfo consumers see the same routine SEQUENCE.  These
+            # markers carry no duration by design — only CNC times the fused
+            # dispatch; enable options.profile_stages for real per-routine
+            # durations.
+            if self.options.raycast_mode != "off" and not self.dyn.raycast_pause:
+                with self.profiling.routine(ProfilingInfo.ROUTINE_RAYCASTING):
+                    pass
+            if int(self.state.step) % self.cfg.sepclusters_every == 1 % max(
+                self.cfg.sepclusters_every, 1
+            ) or self.cfg.sepclusters_every == 1:
+                with self.profiling.routine(ProfilingInfo.ROUTINE_SEPBGCLUSTERS):
+                    pass
         return self._to_msg(out.detections, stamp)
+
+    def _emit_staged(self, scan):
+        """Drive the StagedStep stage-by-stage, bracketing each dispatch with
+        its routine's START/END events (truthful stamps AND durations)."""
+        s = self._step
+        state, dyn = self.state, self.dyn
+        with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
+            fe, bg, cls, dets, det_counter = jax.block_until_ready(
+                s._cnc(state, scan, dyn)
+            )
+        with self.profiling.routine(ProfilingInfo.ROUTINE_RAYCASTING):
+            vals = jax.block_until_ready(
+                s._ray(scan, dyn, state.step, cls.grid, bg.occupied,
+                       fe.blockers)
+            )
+        with self.profiling.routine(ProfilingInfo.ROUTINE_SEPBGCLUSTERS):
+            vals, safe, sure_bg, sep_conv = jax.block_until_ready(
+                s._sep(dyn, state.step, vals, state.safe,
+                       state.sure_bg_sufficient)
+            )
+        return s._assemble(
+            state, bg, cls, dets, det_counter, vals, safe, sure_bg, sep_conv
+        )
 
     def _log_throttled(self):
         """Throttled status logging (the reference logs per scan with

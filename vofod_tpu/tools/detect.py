@@ -38,9 +38,11 @@ def main(argv=None):
     from vofod_tpu.config import DynParams, VoFODConfig, load_config
     from vofod_tpu.runtime.node import NodeOptions, VoFOD
 
-    if args.config:
+    if args.config or args.sensor or args.map_yaml:
+        # every file is optional in load_config — honor --sensor/--map even
+        # without a detection_params.yaml
         cfg, dyn = load_config(
-            args.config, args.sensor or None, args.map_yaml or None
+            args.config or None, args.sensor or None, args.map_yaml or None
         )
     else:
         cfg, dyn = VoFODConfig(), DynParams()
