@@ -1,0 +1,195 @@
+"""Grid-sharded full step (parallel/grid_step.py) vs the unsharded step.
+
+The Z-sharded step must be a drop-in for oversized operation areas, so these
+tests assert BIT-FOR-BIT equality on the virtual 8-device CPU mesh — the
+halo/merge/pipeline constructions feed every output element the same
+operands in the same order as the dense ops.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
+
+from vofod_tpu.config import Box, DynParams, SensorConfig, VoFODConfig
+from vofod_tpu.io.scan_source import Scene, hover_pose, render_scan
+from vofod_tpu.ops.compaction import masked_compact
+from vofod_tpu.ops.raycast import raycast_sweep
+from vofod_tpu.parallel.grid_step import (
+    make_grid_mesh,
+    make_grid_sharded_step,
+    shard_state,
+)
+from vofod_tpu.parallel.gridops import ZShardOps
+from vofod_tpu.pipeline.state import ScanInput, init_state
+from vofod_tpu.pipeline.step import make_step_fn
+from vofod_tpu.sensor import make_lut
+
+
+def sharded_config(**kw):
+    """Tiny flagship-shaped config with nz = 32 (divisible by 8 shards):
+    oparea z size 15.5 -> ceil(15.5/0.5)+1 = 32 planes, shard height 4."""
+    d = dict(
+        sensor=SensorConfig(
+            vertical_rays=16, horizontal_rays=64, vertical_fov=np.deg2rad(90.0)
+        ),
+        oparea=Box((0.0, 0.0, 7.75), (16.0, 16.0, 15.5)),
+        background_sufficient_points_ratio=0.05,
+        max_clusters=8,
+        max_far_voxels=512,
+        max_queries=64,
+        explore_submap=16,  # halo 8 > shard height 4: exercises multi-hop
+        confidence_submap=8,
+    )
+    d.update(kw)
+    return VoFODConfig(**d)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8
+    return make_grid_mesh(8)
+
+
+class TestShardedPrimitives:
+    def test_sweep_zsharded_matches(self, rng, mesh):
+        cfg = sharded_config()
+        from vofod_tpu.geometry import GridSpec
+
+        grid = GridSpec.from_config(cfg)
+        blockers = jnp.asarray(rng.random(grid.shape) < 0.03)
+        origin = jnp.asarray([1.0, -2.0, 9.0], jnp.float32)
+        rot = jnp.eye(3, dtype=jnp.float32)
+        kw = dict(
+            max_distance=jnp.float32(20.0),
+            vertical_fov=cfg.sensor.vertical_fov,
+            v_rays=cfg.sensor.vertical_rays,
+            h_rays=cfg.sensor.horizontal_rays,
+        )
+        want = raycast_sweep(grid, blockers, origin, rot, **kw)
+
+        ops = ZShardOps("grid", 8)
+
+        def body(b):
+            return ops.raycast_sweep(grid, b, origin, rot, **kw)
+
+        got = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("grid", None, None),),
+            out_specs=P("grid", None, None),
+            check_vma=False,
+        )(blockers)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_compact_merge_matches(self, rng, mesh):
+        mask = jnp.asarray(rng.random((32, 12, 12)) < 0.05)
+        want = masked_compact(mask, 64)
+        ops = ZShardOps("grid", 8)
+        got = shard_map(
+            lambda m: ops.compact(m, 64),
+            mesh=mesh,
+            in_specs=(P("grid", None, None),),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(mask)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+    def test_compact_overflow_prefix(self, rng, mesh):
+        """When total > capacity the merged list must equal the global first-
+        capacity ids (each shard's contribution to any global prefix is a
+        prefix of its own list)."""
+        mask = jnp.asarray(rng.random((32, 12, 12)) < 0.4)
+        want = masked_compact(mask, 32)
+        ops = ZShardOps("grid", 8)
+        got = shard_map(
+            lambda m: ops.compact(m, 32),
+            mesh=mesh,
+            in_specs=(P("grid", None, None),),
+            out_specs=(P(), P(), P()),
+            check_vma=False,
+        )(mask)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
+class TestGridShardedStep:
+    def _scan(self, cfg, lut, scene, pose):
+        ranges = render_scan(scene, lut, pose)
+        return ScanInput(
+            ranges_mm=jnp.asarray(ranges.astype(np.float32)),
+            intensity=jnp.ones(ranges.size, jnp.float32),
+            pose=jnp.asarray(pose),
+        )
+
+    def test_bitexact_vs_unsharded(self, mesh):
+        """Full pipeline sequence (background build-up, then a floating
+        target) — sharded and unsharded steps must agree bit-for-bit on
+        state, detections and diagnostics at every step."""
+        cfg = sharded_config()
+        # fast raycast clearing (live-tunable param) so the floating check
+        # resolves within a short sequence
+        dyn = DynParams(raycast_weight_coefficient=0.5)
+        lut = make_lut(cfg.sensor)
+        pose = hover_pose((0.0, 0.0, 6.0))
+
+        ground = Scene(ground_z=0.5)
+        target = Scene(ground_z=0.5)
+        target.add_sphere(center=(4.0, 0.0, 9.0), radius=0.7)
+        scans = [self._scan(cfg, lut, ground, pose)] * 4 + [
+            self._scan(cfg, lut, target, pose)
+        ] * 3
+
+        ref_step = make_step_fn(cfg, lut, donate=False)
+        ref_state = init_state(cfg, dyn)
+        # apriori ground plane (the detector bootstraps from an apriori map
+        # exactly like the reference, node.load_apriori_map)
+        ref_state = ref_state._replace(
+            grid=ref_state.grid.at[1, :, :].set(0.0)
+        )
+
+        sh_step = make_grid_sharded_step(cfg, lut, mesh)
+        sh_state = shard_state(ref_state, mesh)
+
+        for i, scan in enumerate(scans):
+            ref_state, ref_out = ref_step(ref_state, scan, dyn.as_arrays())
+            sh_state, sh_out = sh_step(sh_state, scan, dyn.as_arrays())
+            for name, a, b in [
+                ("grid", ref_state.grid, sh_state.grid),
+                ("safe", ref_state.safe, sh_state.safe),
+            ]:
+                np.testing.assert_array_equal(
+                    np.asarray(b), np.asarray(a),
+                    err_msg=f"step {i}: state.{name} diverged",
+                )
+            for name in ref_out.detections._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(sh_out.detections, name)),
+                    np.asarray(getattr(ref_out.detections, name)),
+                    err_msg=f"step {i}: detections.{name} diverged",
+                )
+            for name in ref_out.diag._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(sh_out.diag, name)),
+                    np.asarray(getattr(ref_out.diag, name)),
+                    err_msg=f"step {i}: diag.{name} diverged",
+                )
+        # the run must actually exercise detection: the target is found
+        assert int(jnp.sum(ref_out.detections.valid)) >= 1
+        # and the state really is sharded over all 8 devices
+        assert len(sh_state.grid.sharding.device_set) == 8
+
+    def test_indivisible_nz_raises(self, mesh):
+        cfg = sharded_config(oparea=Box((0.0, 0.0, 7.5), (16.0, 16.0, 15.0)))
+        lut = make_lut(cfg.sensor)
+        with pytest.raises(ValueError, match="divisible"):
+            make_grid_sharded_step(cfg, lut, mesh)
+
+    def test_exact_census_unsupported(self, mesh):
+        cfg = sharded_config(sepclusters_exact_census=True)
+        lut = make_lut(cfg.sensor)
+        with pytest.raises(NotImplementedError, match="exact_census"):
+            make_grid_sharded_step(cfg, lut, mesh)

@@ -43,6 +43,9 @@ def explore_to_ground(
     thr_ground: Array,
     submap: int,
     max_iters: int = 96,
+    *,
+    z_halo: bool = False,
+    z_off: Array | int = 0,
 ) -> tuple[Array, Array, Array]:
     """Batched bounded flood-fill.
 
@@ -56,6 +59,11 @@ def explore_to_ground(
       thr_frontiers / thr_ground: traced scalars (unknown/ground thresholds).
       submap: static submap side S; queries with 2*bound+1 > S are clamped
         (bound capped at S//2 - 1, conservative toward "connected").
+      z_halo / z_off: grid-sharded mode (parallel/gridops.ZShardOps) —
+        ``vmap_grid`` is a LOCAL z-shard already extended by S//2 halo rows
+        on each side, and ``z_off`` is the shard's first global z row.  Only
+        y/x get padded here; queries outside the shard produce clamped
+        garbage that the caller discards by ownership.
 
     Returns:
       connected: [Q] bool — point is connected to ground (not floating).
@@ -68,14 +76,21 @@ def explore_to_ground(
     half = S // 2
     pad = half
     big_neg = jnp.float32(-1e30)  # outside-grid reads: certain air
-    padded = jnp.pad(vmap_grid, pad, constant_values=big_neg)
+    if z_halo:
+        padded = jnp.pad(
+            vmap_grid, ((0, 0), (pad, pad), (pad, pad)), constant_values=big_neg
+        )
+    else:
+        padded = jnp.pad(vmap_grid, pad, constant_values=big_neg)
 
     bound = jnp.minimum(max_manhattan, half - 1)
 
     # submap extraction: padded[z0:z0+S, ...] with z0 = qz - half + pad = qz ...
     def extract(ix, iy, iz):
         return lax.dynamic_slice(
-            padded, (iz - half + pad, iy - half + pad, ix - half + pad), (S, S, S)
+            padded,
+            (iz - z_off - half + pad, iy - half + pad, ix - half + pad),
+            (S, S, S),
         )
 
     vals = jax.vmap(extract)(qx, qy, qz)  # [Q, S, S, S]
@@ -130,17 +145,35 @@ def apply_demotions(
     corners: Array,
     demote: Array,
     thr_frontiers: Array,
+    *,
+    z_halo: bool = False,
+    z_off: Array | int = 0,
 ) -> Array:
     """Write explored-unknown voxels of failed searches back to the frontiers
     score (ref vofod_nodelet.cpp:1709-1716).  Sequential read-modify-write of
     SxSxS patches on a halo-padded copy (min-combine, so overlaps and repeats
-    are idempotent)."""
+    are idempotent — each covered voxel ends at min(value, thr) regardless of
+    application order).
+
+    With ``z_halo`` (grid-sharded mode), ``vmap_grid`` is a local z-shard
+    already extended by S//2 rows each side; the updated z-extended array is
+    returned (cropped in y/x only) so the caller can min-fold halo rows back
+    onto their owning shards (parallel/gridops.ZShardOps.demote).  Queries
+    whose ``demote`` flag is False write their patch back unchanged, so
+    clamped out-of-shard slices are harmless no-ops.
+    """
     Q, S = reached.shape[0], reached.shape[1]
     pad = S // 2
-    padded = jnp.pad(vmap_grid, pad, constant_values=jnp.float32(0))
+    if z_halo:
+        padded = jnp.pad(
+            vmap_grid, ((0, 0), (pad, pad), (pad, pad)),
+            constant_values=jnp.float32(0),
+        )
+    else:
+        padded = jnp.pad(vmap_grid, pad, constant_values=jnp.float32(0))
 
     def body(i, acc):
-        z0 = corners[i, 0] + pad
+        z0 = corners[i, 0] - z_off + pad
         y0 = corners[i, 1] + pad
         x0 = corners[i, 2] + pad
         patch = lax.dynamic_slice(acc, (z0, y0, x0), (S, S, S))
@@ -150,4 +183,6 @@ def apply_demotions(
 
     padded = lax.fori_loop(0, Q, body, padded)
     nz, ny, nx = vmap_grid.shape
+    if z_halo:
+        return padded[:, pad : pad + ny, pad : pad + nx]
     return padded[pad : pad + nz, pad : pad + ny, pad : pad + nx]

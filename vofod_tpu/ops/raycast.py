@@ -129,6 +129,65 @@ def raycast_dda(
 # =============================================================================
 
 
+def _shifted(p: Array, d: int, axis: int) -> Array:
+    """out[..i..] = p[..i+d..] along `axis`, 1.0 outside."""
+    n = p.shape[axis]
+    if d == 0:
+        return p
+    if d > 0:
+        sl = lax.slice_in_dim(p, d, n, axis=axis)
+        fill = jnp.ones_like(lax.slice_in_dim(p, 0, d, axis=axis))
+        return jnp.concatenate([sl, fill], axis=axis)
+    sl = lax.slice_in_dim(p, 0, n + d, axis=axis)
+    fill = jnp.ones_like(lax.slice_in_dim(p, 0, -d, axis=axis))
+    return jnp.concatenate([fill, sl], axis=axis)
+
+
+def _tap_weights(rel_s: Array, rel_lat: Array) -> Array:
+    """Separable 4-tap interpolation weights for sampling the previous plane
+    at lateral coordinate ``-rel_lat / rel_s`` (clipped to ±1 voxel/plane).
+    Depends only on (plane, cone, lateral index) — precomputed vectorized so
+    the scan body is pure fma.  rel_s: [nS, C]; rel_lat: [C, n] ->
+    [nS, C, n, 4]."""
+    rs_safe = jnp.where(jnp.abs(rel_s) < 0.5, 0.5, rel_s)  # [nS, C]
+    f = jnp.clip(
+        -rel_lat[None, :, :] / rs_safe[:, :, None], -1.0, 1.0
+    )  # [nS, C, n_lat]
+    lo = jnp.floor(f)
+    frac = f - lo
+    lo = lo.astype(jnp.int32)  # in {-1, 0, 1}
+    w_m1 = jnp.where(lo == -1, 1.0 - frac, 0.0)
+    w_0 = jnp.where(lo == -1, frac, 0.0) + jnp.where(lo == 0, 1.0 - frac, 0.0)
+    w_p1 = jnp.where(lo == 0, frac, 0.0) + jnp.where(lo == 1, 1.0 - frac, 0.0)
+    w_p2 = jnp.where(lo == 1, frac, 0.0)
+    return jnp.stack([w_m1, w_0, w_p1, w_p2], axis=-1)  # [nS, C, n, 4]
+
+
+def _cone_scan_step(carry, inp):
+    """One transmittance plane step (shared by the unsharded scan and the
+    z-pipelined sharded scan): bilinear-resample the carry toward the sensor,
+    seed planes at/behind the sensor, attenuate by plane opacity."""
+    opaq_plane, wa_p, wb_p, seed_p = inp
+    C = carry.shape[0]
+
+    def lerp(p, w, axis):
+        shape = [C, 1, 1, 4]
+        shape[axis + 1] = w.shape[1]
+        w = w.reshape(shape)
+        return (
+            w[..., 0] * _shifted(p, -1, axis + 1)
+            + w[..., 1] * p
+            + w[..., 2] * _shifted(p, 1, axis + 1)
+            + w[..., 3] * _shifted(p, 2, axis + 1)
+        )
+
+    t_in = lerp(lerp(carry, wb_p, 1), wa_p, 0)
+    # seed: the first plane at/after the sensor starts fully lit
+    t_in = jnp.where(seed_p, jnp.bfloat16(1.0), t_in)
+    carry_new = t_in * (jnp.bfloat16(1.0) - opaq_plane)
+    return carry_new, t_in
+
+
 def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Array:
     """Transmittance sweep for C cones batched into ONE scan.
 
@@ -150,69 +209,108 @@ def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Ar
     """
     C, nA, nB = opaq_sc.shape[1], opaq_sc.shape[2], opaq_sc.shape[3]
 
-    def shifted(p, d, axis):
-        """out[..i..] = p[..i+d..] along `axis`, 1.0 outside."""
-        n = p.shape[axis]
-        if d == 0:
-            return p
-        if d > 0:
-            sl = lax.slice_in_dim(p, d, n, axis=axis)
-            fill = jnp.ones_like(lax.slice_in_dim(p, 0, d, axis=axis))
-            return jnp.concatenate([sl, fill], axis=axis)
-        sl = lax.slice_in_dim(p, 0, n + d, axis=axis)
-        fill = jnp.ones_like(lax.slice_in_dim(p, 0, -d, axis=axis))
-        return jnp.concatenate([fill, sl], axis=axis)
-
-    # Interpolation weights depend only on (plane, cone, lateral index):
-    # precompute all of them vectorized, so the scan body is pure fma.
-    def tap_weights(rel_lat, n_lat):
-        rs_safe = jnp.where(jnp.abs(rel_s) < 0.5, 0.5, rel_s)  # [nS, C]
-        f = jnp.clip(
-            -rel_lat[None, :, :] / rs_safe[:, :, None], -1.0, 1.0
-        )  # [nS, C, n_lat]
-        lo = jnp.floor(f)
-        frac = f - lo
-        lo = lo.astype(jnp.int32)  # in {-1, 0, 1}
-        w_m1 = jnp.where(lo == -1, 1.0 - frac, 0.0)
-        w_0 = jnp.where(lo == -1, frac, 0.0) + jnp.where(lo == 0, 1.0 - frac, 0.0)
-        w_p1 = jnp.where(lo == 0, frac, 0.0) + jnp.where(lo == 1, 1.0 - frac, 0.0)
-        w_p2 = jnp.where(lo == 1, frac, 0.0)
-        return jnp.stack([w_m1, w_0, w_p1, w_p2], axis=-1)  # [nS, C, n, 4]
-
     # bf16 throughout the scan: transmittance needs ~3 significant digits
     # (it only modulates an EMA rate) and halving the loop's memory traffic
     # is the dominant cost lever
-    wa = tap_weights(rel_a, nA).astype(jnp.bfloat16)  # [nS, C, nA, 4]
-    wb = tap_weights(rel_b, nB).astype(jnp.bfloat16)  # [nS, C, nB, 4]
+    wa = _tap_weights(rel_s, rel_a).astype(jnp.bfloat16)  # [nS, C, nA, 4]
+    wb = _tap_weights(rel_s, rel_b).astype(jnp.bfloat16)  # [nS, C, nB, 4]
     seed = (rel_s <= 1.0)[:, :, None, None]  # [nS, C, 1, 1]
-
-    def step(carry, inp):
-        opaq_plane, wa_p, wb_p, seed_p = inp
-
-        def lerp(p, w, axis):
-            shape = [C, 1, 1, 4]
-            shape[axis + 1] = w.shape[1]
-            w = w.reshape(shape)
-            return (
-                w[..., 0] * shifted(p, -1, axis + 1)
-                + w[..., 1] * p
-                + w[..., 2] * shifted(p, 1, axis + 1)
-                + w[..., 3] * shifted(p, 2, axis + 1)
-            )
-
-        t_in = lerp(lerp(carry, wb_p, 1), wa_p, 0)
-        # seed: the first plane at/after the sensor starts fully lit
-        t_in = jnp.where(seed_p, jnp.bfloat16(1.0), t_in)
-        carry_new = t_in * (jnp.bfloat16(1.0) - opaq_plane)
-        return carry_new, t_in
 
     init = jnp.ones((C, nA, nB), jnp.bfloat16)
     # unroll: each device-loop iteration advances several planes — the scan
     # is overhead-bound (tiny per-plane stencils)
     _, t = lax.scan(
+        _cone_scan_step, init, (opaq_sc.astype(jnp.bfloat16), wa, wb, seed),
+        unroll=8,
+    )
+    return t.astype(jnp.float32)
+
+
+def _sweep_cones_lat_sharded(
+    opaq_sc: Array, rel_s: Array, rel_a_loc: Array, rel_b: Array,
+    axis: str, n: int,
+) -> Array:
+    """:func:`_sweep_cones` with the lateral A axis sharded over mesh axis
+    ``axis`` (grid-sharded x/y cones: A = the Z grid axis).  Per plane step
+    the post-B-lerp carry exchanges its A-halo rows (1 low, 2 high — the
+    4-tap support) with the neighbor shards over ICI; global edges fill 1.0
+    exactly like :func:`_shifted`.  Arithmetic per interior element is
+    identical to the unsharded scan.  Must run inside shard_map."""
+    C, nAl, nB = opaq_sc.shape[1], opaq_sc.shape[2], opaq_sc.shape[3]
+    assert nAl >= 2, "lateral shard must hold >= 2 rows for the 4-tap halo"
+
+    wa = _tap_weights(rel_s, rel_a_loc).astype(jnp.bfloat16)  # [nS, C, nAl, 4]
+    wb = _tap_weights(rel_s, rel_b).astype(jnp.bfloat16)
+    seed = (rel_s <= 1.0)[:, :, None, None]
+    my = lax.axis_index(axis)
+    perm_up = [(i, i + 1) for i in range(n - 1)]
+    perm_dn = [(i, i - 1) for i in range(1, n)]
+
+    def step(carry, inp):
+        opaq_plane, wa_p, wb_p, seed_p = inp
+        wbr = wb_p.reshape(C, 1, nB, 4)
+        q = (
+            wbr[..., 0] * _shifted(carry, -1, 2)
+            + wbr[..., 1] * carry
+            + wbr[..., 2] * _shifted(carry, 1, 2)
+            + wbr[..., 3] * _shifted(carry, 2, 2)
+        )
+        last1 = lax.ppermute(q[:, nAl - 1 : nAl, :], axis, perm_up)
+        first2 = lax.ppermute(q[:, :2, :], axis, perm_dn)
+        lo = jnp.where(my > 0, last1, jnp.ones_like(q[:, :1, :]))
+        hi = jnp.where(my < n - 1, first2, jnp.ones_like(q[:, :2, :]))
+        ext = jnp.concatenate([lo, q, hi], axis=1)  # [C, nAl+3, nB]
+        war = wa_p.reshape(C, nAl, 1, 4)
+        t_in = (
+            war[..., 0] * ext[:, 0:nAl]
+            + war[..., 1] * ext[:, 1 : nAl + 1]
+            + war[..., 2] * ext[:, 2 : nAl + 2]
+            + war[..., 3] * ext[:, 3 : nAl + 3]
+        )
+        t_in = jnp.where(seed_p, jnp.bfloat16(1.0), t_in)
+        carry_new = t_in * (jnp.bfloat16(1.0) - opaq_plane)
+        return carry_new, t_in
+
+    init = jnp.ones((C, nAl, nB), jnp.bfloat16)
+    _, t = lax.scan(
         step, init, (opaq_sc.astype(jnp.bfloat16), wa, wb, seed), unroll=8
     )
     return t.astype(jnp.float32)
+
+
+def _sweep_cones_z_pipelined(
+    opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array,
+    axis: str, n: int,
+) -> Array:
+    """Both z cones with the SWEEP axis sharded (each shard holds nz/n
+    planes), pipelined across shards: n rounds of the local scan, the carry
+    plane riding ppermute to the next shard in the sweep direction after
+    each round (cone 0 sweeps shard 0 -> n-1, cone 1 sweeps n-1 -> 0).
+    Shard s keeps cone-0 output from round s and cone-1 output from round
+    n-1-s; off-round local scans compute discarded values (the recurrence is
+    inherently sequential — wall-clock matches unsharded, memory scales).
+    Must run inside shard_map."""
+    nzl, C = opaq_sc.shape[0], opaq_sc.shape[1]
+    assert C == 2
+    wa = _tap_weights(rel_s, rel_a).astype(jnp.bfloat16)
+    wb = _tap_weights(rel_s, rel_b).astype(jnp.bfloat16)
+    seed = (rel_s <= 1.0)[:, :, None, None]
+    inputs = (opaq_sc.astype(jnp.bfloat16), wa, wb, seed)
+    my = lax.axis_index(axis)
+    perm_up = [(i, i + 1) for i in range(n - 1)]
+    perm_dn = [(i, i - 1) for i in range(1, n)]
+
+    carry = jnp.ones((C,) + opaq_sc.shape[2:], jnp.bfloat16)
+    t_out = jnp.zeros(opaq_sc.shape, jnp.bfloat16)
+    for r in range(n):
+        carry_fin, t = lax.scan(_cone_scan_step, carry, inputs, unroll=8)
+        keep = jnp.stack([my == r, my == (n - 1 - r)])  # [C]
+        t_out = jnp.where(keep[None, :, None, None], t, t_out)
+        if r < n - 1:
+            c0 = lax.ppermute(carry_fin[0], axis, perm_up)
+            c1 = lax.ppermute(carry_fin[1], axis, perm_dn)
+            carry = jnp.stack([c0, c1])
+    return t_out.astype(jnp.float32)
 
 
 # -----------------------------------------------------------------------------
@@ -439,6 +537,14 @@ def raycast_sweep(
 
     Returns: float32 (nz, ny, nx) raylen field (≈ sum of ray chord lengths).
     """
+    sweep_cones = _sweep_cones
+    from vofod_tpu.ops.pallas_sweep import use_pallas_sweep
+
+    if use_pallas_sweep():
+        from vofod_tpu.ops.pallas_sweep import pallas_sweep_cones
+
+        sweep_cones = pallas_sweep_cones
+
     nz, ny, nx = grid.shape
     vs = grid.voxel_size
     ox, oy, oz = grid.origin
@@ -502,7 +608,7 @@ def raycast_sweep(
             _extend_rel(rel_x, pb),
         ]
     )  # [4, pb]
-    t_a = _sweep_cones(planes_a, rs_a, ra_a, rb_a)
+    t_a = sweep_cones(planes_a, rs_a, ra_a, rb_a)
     if gate is not None:
         t_a = t_a * _expand_gate(gate[:4], rs_a, ra_a, rb_a)
     tx_f = jnp.moveaxis(t_a[:nx, 0, :, :ny], 0, 2)  # -> (nz, ny, nx)
@@ -514,11 +620,24 @@ def raycast_sweep(
     rs_z = jnp.stack([rel_z, -rel_z[::-1]], axis=1)
     ra_z = jnp.broadcast_to(rel_y[None, :], (2, ny))
     rb_z = jnp.broadcast_to(rel_x[None, :], (2, nx))
-    t_z = _sweep_cones(planes_z, rs_z, ra_z, rb_z)
+    t_z = sweep_cones(planes_z, rs_z, ra_z, rb_z)
     if gate is not None:
         t_z = t_z * _expand_gate(gate[4:], rs_z, ra_z, rb_z)
     tz_f, tz_b = t_z[:, 0], t_z[::-1, 1]
 
+    return _assemble_raylen(
+        vs, rel_x, rel_y, rel_z, tx_f, tx_b, ty_f, ty_b, tz_f, tz_b,
+        rot_s2w, max_distance, vertical_fov, v_rays, h_rays,
+    )
+
+
+def _assemble_raylen(
+    vs, rel_x, rel_y, rel_z, tx_f, tx_b, ty_f, ty_b, tz_f, tz_b,
+    rot_s2w, max_distance, vertical_fov, v_rays, h_rays,
+):
+    """Cone partition + chord-length density (elementwise tail shared by the
+    unsharded and z-sharded sweeps; ``rel_z`` and the t-fields may be local
+    z-slabs)."""
     # --- cone partition (priority x > y > z on ties) --------------------------
     ax = jnp.abs(rel_x)[None, None, :]
     ay = jnp.abs(rel_y)[None, :, None]
@@ -563,3 +682,110 @@ def raycast_sweep(
 
     raylen = T * density * (vs**3) / jnp.maximum(d2, vs * vs)
     return jnp.where(fov & in_range, raylen, 0.0).astype(jnp.float32)
+
+
+def raycast_sweep_zsharded(
+    grid: GridSpec,
+    opaque: Array,
+    origin_world: Array,
+    rot_s2w: Array,
+    *,
+    max_distance: Array,
+    vertical_fov: float,
+    v_rays: int,
+    h_rays: int,
+    gate: Array | None = None,
+    axis: str,
+    n_shards: int,
+) -> Array:
+    """:func:`raycast_sweep` over a grid Z-sharded across ``n_shards`` mesh
+    devices (``opaque`` is the local (nz/n, ny, nx) slab; must run inside
+    shard_map).  The x/y cone group runs lateral-sharded (per-plane carry
+    halos over ICI, :func:`_sweep_cones_lat_sharded`); the z cone group runs
+    sweep-sharded/pipelined (:func:`_sweep_cones_z_pipelined`).  Outputs
+    match the unsharded sweep bit-for-bit (tests/test_grid_step.py)."""
+    nz, ny, nx = grid.shape  # GLOBAL
+    nzl = opaque.shape[0]
+    vs = grid.voxel_size
+    ox, oy, oz = grid.origin
+    gx = (origin_world[0] - ox) / vs
+    gy = (origin_world[1] - oy) / vs
+    gz = (origin_world[2] - oz) / vs
+
+    z0 = lax.axis_index(axis) * nzl
+    rel_x = jnp.arange(nx, dtype=jnp.float32) + 0.5 - gx
+    rel_y = jnp.arange(ny, dtype=jnp.float32) + 0.5 - gy
+    rel_z = (
+        jnp.arange(nzl, dtype=jnp.float32) + z0.astype(jnp.float32) + 0.5 - gz
+    )
+
+    op = opaque.astype(jnp.float32)
+
+    def _pad_tail(a, axis_i, n, value):
+        if a.shape[axis_i] >= n:
+            return a
+        widths = [(0, 0)] * a.ndim
+        widths[axis_i] = (0, n - a.shape[axis_i])
+        return jnp.pad(a, widths, constant_values=value)
+
+    def _extend_rel(rel, n):
+        k = n - rel.shape[0]
+        if k <= 0:
+            return rel
+        tail = rel[-1] + jnp.arange(1, k + 1, dtype=rel.dtype)
+        return jnp.concatenate([rel, tail])
+
+    # --- x/y cones: sweep axes unsharded, lateral A (= grid z) sharded -------
+    ns_a = max(nx, ny)
+    pb = max(nx, ny)
+    op_x = jnp.moveaxis(op, 2, 0)  # [nx, nzl, ny]
+    op_y = jnp.moveaxis(op, 1, 0)  # [ny, nzl, nx]
+    planes_a = jnp.stack(
+        [
+            _pad_tail(_pad_tail(op_x, 2, pb, 0.0), 0, ns_a, 0.0),
+            _pad_tail(_pad_tail(op_x[::-1], 2, pb, 0.0), 0, ns_a, 0.0),
+            _pad_tail(_pad_tail(op_y, 2, pb, 0.0), 0, ns_a, 0.0),
+            _pad_tail(_pad_tail(op_y[::-1], 2, pb, 0.0), 0, ns_a, 0.0),
+        ],
+        axis=1,
+    )  # [ns_a, 4, nzl, pb]
+    rs_a = jnp.stack(
+        [
+            _extend_rel(rel_x, ns_a),
+            _extend_rel(-rel_x[::-1], ns_a),
+            _extend_rel(rel_y, ns_a),
+            _extend_rel(-rel_y[::-1], ns_a),
+        ],
+        axis=1,
+    )
+    ra_a = jnp.broadcast_to(rel_z[None, :], (4, nzl))
+    rb_a = jnp.stack(
+        [
+            _extend_rel(rel_y, pb),
+            _extend_rel(rel_y, pb),
+            _extend_rel(rel_x, pb),
+            _extend_rel(rel_x, pb),
+        ]
+    )
+    t_a = _sweep_cones_lat_sharded(planes_a, rs_a, ra_a, rb_a, axis, n_shards)
+    if gate is not None:
+        t_a = t_a * _expand_gate(gate[:4], rs_a, ra_a, rb_a)
+    tx_f = jnp.moveaxis(t_a[:nx, 0, :, :ny], 0, 2)  # -> (nzl, ny, nx)
+    tx_b = jnp.moveaxis(t_a[:nx, 1, :, :ny][::-1], 0, 2)
+    ty_f = jnp.moveaxis(t_a[:ny, 2, :, :nx], 0, 1)
+    ty_b = jnp.moveaxis(t_a[:ny, 3, :, :nx][::-1], 0, 1)
+
+    # --- z cones: sweep axis sharded, pipelined over shards ------------------
+    planes_z = jnp.stack([op, op[::-1]], axis=1)  # [nzl, 2, ny, nx]
+    rs_z = jnp.stack([rel_z, -rel_z[::-1]], axis=1)
+    ra_z = jnp.broadcast_to(rel_y[None, :], (2, ny))
+    rb_z = jnp.broadcast_to(rel_x[None, :], (2, nx))
+    t_z = _sweep_cones_z_pipelined(planes_z, rs_z, ra_z, rb_z, axis, n_shards)
+    if gate is not None:
+        t_z = t_z * _expand_gate(gate[4:], rs_z, ra_z, rb_z)
+    tz_f, tz_b = t_z[:, 0], t_z[::-1, 1]
+
+    return _assemble_raylen(
+        vs, rel_x, rel_y, rel_z, tx_f, tx_b, ty_f, ty_b, tz_f, tz_b,
+        rot_s2w, max_distance, vertical_fov, v_rays, h_rays,
+    )

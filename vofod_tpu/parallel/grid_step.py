@@ -1,0 +1,140 @@
+"""Grid-sharded full detection step: one operation area across many chips.
+
+The stream-DP path (parallel/sharding.py) scales the number of independent
+sensor feeds; THIS module scales a single feed's operation area beyond one
+chip's HBM, the axis SURVEY.md §5 names for giant maps (the reference caps
+its VoxelMap at one machine's RAM; its 2.47M-voxel sim workload uses ~10 MB,
+but a 0.25 m voxel over a km² oparea is ~80 GB — multi-chip or nothing).
+
+Design: the confidence grid and the sepclusters warm-start mask shard along
+Z (the leading, non-lane grid axis — shards keep full (8, 128) sublane/lane
+tiles).  The WHOLE step runs inside ONE shard_map with the stage code of
+pipeline/*.py unchanged — every dense-grid primitive routes through
+parallel/gridops.ZShardOps:
+
+* stencil pools / label propagation: halo slabs over ICI per sweep
+  (multi-hop when the halo exceeds the shard height);
+* point binning: the scan is replicated (131k points ≪ grid); each shard
+  scatters only locally-owned points — no all-to-all at all;
+* compaction: per-shard lists + all_gather + ordered merge (Z-major flat
+  ids make shard-major concatenation globally ascending);
+* explore/demotions: owner-shard submap extraction on halo-extended slabs;
+  demotion min-writes fold back onto neighbors (min is idempotent and
+  commutative, so the fold is exact);
+* sweep raycast: x/y cones lateral-sharded (carry-halo ppermute per plane),
+  z cones pipelined across shards (ops/raycast.py);
+* scalars/flags/detection lists: replicated via psum/pmax.
+
+Every output matches the unsharded step BIT-FOR-BIT (tests/test_grid_step.py
+asserts exact equality of grids, detections and diagnostics on an 8-device
+mesh), so the sharded step is a drop-in for oversized operation areas.
+
+Cost model (v5e): steady-state halo traffic per step is ~stencil_sweeps ×
+2r × ny × nx × 4 B ≈ a few MB over ICI — negligible against the ~ms of
+stencil compute it overlaps with.  The z-cone pipeline is the one
+sequential stage: wall-clock equal to the unsharded sweep (the recurrence
+is inherently ordered), compute replicated n×, memory 1/n — acceptable
+because the z cones are the cheapest pair (nz ≪ nx, ny in every real
+config).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vofod_tpu.config import DynParams, VoFODConfig
+from vofod_tpu.parallel.gridops import ZShardOps
+from vofod_tpu.pipeline.state import VoFODState, init_state
+from vofod_tpu.pipeline.step import make_step_fn
+from vofod_tpu.sensor import XyzLut
+
+
+def _state_specs(axis: str) -> VoFODState:
+    g = P(axis, None, None)
+    return VoFODState(
+        grid=g,
+        safe=g,
+        det_counter=P(),
+        step=P(),
+        sure_bg_sufficient=P(),
+        bg_sufficient=P(),
+    )
+
+
+def init_grid_sharded_state(
+    cfg: VoFODConfig,
+    dyn: DynParams,
+    mesh: Mesh,
+    axis: str = "grid",
+) -> VoFODState:
+    """Fresh state with the dense grids Z-sharded over the mesh."""
+    s0 = init_state(cfg, dyn)
+    specs = _state_specs(axis)
+    return jax.tree.map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), s0, specs
+    )
+
+
+def shard_state(state: VoFODState, mesh: Mesh, axis: str = "grid") -> VoFODState:
+    """Re-shard an existing (e.g. snapshot-loaded) state onto the mesh."""
+    specs = _state_specs(axis)
+    return jax.tree.map(
+        lambda x, sp: jax.device_put(x, NamedSharding(mesh, sp)), state, specs
+    )
+
+
+def make_grid_sharded_step(
+    cfg: VoFODConfig,
+    lut: XyzLut,
+    mesh: Mesh,
+    axis: str = "grid",
+    **step_kw,
+):
+    """Build the jitted Z-sharded step (same signature as make_step_fn's
+    product: ``(state, scan, dyn) -> (state, StepOutput)`` with state grids
+    sharded ``P(axis, None, None)`` and everything else replicated).
+
+    Requires ``nz % mesh.shape[axis] == 0`` (pad the operation-area height to
+    a multiple — the extra planes are inert) and a shard height of at least
+    2 planes for the sweep's lateral halo taps.
+    """
+    n = int(mesh.shape[axis])
+    nz, _, _ = cfg.grid_shape
+    if nz % n:
+        raise ValueError(
+            f"grid nz={nz} not divisible by mesh axis '{axis}' size {n}; "
+            "pad the operation-area height"
+        )
+    if nz // n < 2:
+        raise ValueError(f"shard height {nz // n} < 2 planes (nz={nz}, n={n})")
+    if cfg.sepclusters_exact_census:
+        raise NotImplementedError(
+            "sepclusters_exact_census is not supported with the grid-sharded "
+            "step (pipeline/sepclusters.py docstring) — use the default "
+            "local-density mode"
+        )
+
+    ops = ZShardOps(axis, n)
+    step = make_step_fn(
+        cfg, lut, donate=False, jit=False, ops=ops, **step_kw
+    )
+    sspec = _state_specs(axis)
+    sharded = shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(sspec, P(), P()),
+        out_specs=(sspec, P()),
+        # replicated-output inference would have to see through psum-carried
+        # while loops; outputs are replicated by construction (psum/pmax)
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_grid_mesh(n_devices: int | None = None, axis: str = "grid") -> Mesh:
+    devs = jax.devices()
+    nd = n_devices or len(devs)
+    return Mesh(np.array(devs[:nd]), (axis,))

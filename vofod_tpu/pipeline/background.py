@@ -23,8 +23,7 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from vofod_tpu.config import DynParams, VoFODConfig
-from vofod_tpu.ops.components import label_components_seeded
-from vofod_tpu.ops.morphology import ball_pool_max
+from vofod_tpu.parallel.gridops import DENSE
 
 Array = jnp.ndarray
 
@@ -42,20 +41,21 @@ class BackgroundOut(NamedTuple):
 
 
 def split_and_update(
-    cfg: VoFODConfig, dyn: DynParams, grid_vals: Array, counts: Array
+    cfg: VoFODConfig, dyn: DynParams, grid_vals: Array, counts: Array,
+    ops=DENSE,
 ) -> BackgroundOut:
     radius = cfg.ground_points_max_distance / cfg.voxel_size
 
     # --- background sufficiency (pre-update map, like the reference) --------
     bg_mask = grid_vals > dyn.thr_new_obstacles
-    n_bg = bg_mask.sum().astype(jnp.int32)
+    n_bg = ops.gsum(bg_mask).astype(jnp.int32)
     bg_sufficient = n_bg > cfg.background_min_sufficient_pts
 
     # --- close/far split + component labels (one propagation) ---------------
     occupied = counts > 0
-    bg_near = ball_pool_max(bg_mask.astype(jnp.int32), radius, fill=0) > 0
+    bg_near = ops.pool_max(bg_mask.astype(jnp.int32), radius, fill=0) > 0
     seed = occupied & bg_near
-    labels, close, cc_converged, cc_iters = label_components_seeded(
+    labels, close, cc_converged, cc_iters = ops.label_seeded(
         occupied, seed, radius, cfg.cc_sweeps
     )
     far = occupied & ~close

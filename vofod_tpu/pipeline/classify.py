@@ -27,10 +27,9 @@ import jax.numpy as jnp
 
 from vofod_tpu.config import DynParams, VoFODConfig
 from vofod_tpu.geometry import GridSpec
-from vofod_tpu.ops.compaction import masked_compact
 from vofod_tpu.ops.components import SENTINEL
 from vofod_tpu.ops.eigh3 import eigh3
-from vofod_tpu.ops.explore import apply_demotions, explore_to_ground
+from vofod_tpu.parallel.gridops import DENSE
 
 Array = jnp.ndarray
 
@@ -68,17 +67,18 @@ def classify(
     sensor_pos: Array,  # [3] world
     bg_sufficient: Array,
     sure_bg_sufficient: Array,
+    ops=DENSE,
 ) -> ClassifyOut:
     K = cfg.max_clusters
     F = cfg.max_far_voxels
     Q = cfg.max_queries
     conv = labels_converged
 
-    fids, fvalid, ftotal = masked_compact(far, F)
+    fids, fvalid, ftotal = ops.compact(far, F)
     overflow = ftotal > F
     fx, fy, fz = grid.unflatten_id(fids)
     centers = grid.idx_to_coord(fx, fy, fz)  # [F, 3] world
-    flabels = jnp.where(fvalid, labels.reshape(-1)[fids], SENTINEL)
+    flabels = jnp.where(fvalid, ops.lookup(labels, fids), SENTINEL)
 
     # --- distinct component labels into K slots (ascending) -----------------
     def next_rep(prev, _):
@@ -141,15 +141,15 @@ def classify(
     # dense mask of member voxels of gated clusters -> second compaction
     rep_sel = jnp.where(qgate, reps, jnp.int32(-2))  # -2 matches nothing
     qmask = far & jnp.isin(labels, rep_sel)
-    qids, qvalid, qtotal = masked_compact(qmask, Q)
+    qids, qvalid, qtotal = ops.compact(qmask, Q)
     query_overflow = qtotal > Q
     qx, qy, qz = grid.unflatten_id(qids)
-    qlabels = jnp.where(qvalid, labels.reshape(-1)[qids], SENTINEL)
+    qlabels = jnp.where(qvalid, ops.lookup(labels, qids), SENTINEL)
     qslot = qvalid[:, None] & (qlabels[:, None] == reps[None, :])  # [Q, K]
     m_q = (qslot.astype(jnp.int32) @ m_k).astype(jnp.int32)  # [Q]
 
     def run_explore(vals):
-        connected, reached, corners = explore_to_ground(
+        connected, reached, corners = ops.explore(
             grid,
             vals,
             qx,
@@ -167,7 +167,7 @@ def classify(
         demote = qvalid & jnp.any(qslot & floating[None, :], axis=1)
         new_vals = jax.lax.cond(
             jnp.any(demote),
-            lambda v: apply_demotions(v, reached, corners, demote, dyn.thr_frontiers),
+            lambda v: ops.demote(v, reached, corners, demote, dyn.thr_frontiers),
             lambda v: v,
             vals,
         )

@@ -21,10 +21,10 @@ import math
 
 import jax
 import jax.numpy as jnp
-from jax import lax
 
 from vofod_tpu.config import DynParams, VoFODConfig
 from vofod_tpu.geometry import GridSpec
+from vofod_tpu.parallel.gridops import DENSE
 from vofod_tpu.pipeline.classify import CLS_MAV, ClassifyOut
 from vofod_tpu.pipeline.state import Detections
 
@@ -41,6 +41,7 @@ def extract_detections(
     cls_out: ClassifyOut,
     sensor_pos: Array,
     det_counter: Array,
+    ops=DENSE,
 ) -> tuple[Detections, Array]:
     K = cfg.max_clusters
     CS = cfg.confidence_submap
@@ -50,13 +51,6 @@ def extract_detections(
     dist = jnp.linalg.norm(cls_out.obb_center - sensor_pos[None, :], axis=-1)
 
     # --- confidence from the inflated-AABB submap -----------------------------
-    pad = half
-    padded_vals = jnp.pad(grid_vals, pad, constant_values=jnp.float32(0))
-    padded_far = jnp.pad(far, pad, constant_values=False)
-    padded_lab = jnp.pad(
-        labels, pad, constant_values=jnp.int32(2**31 - 1)
-    )
-
     # integer index boxes of the submap: AABB corners -> idx, inflate by 2,
     # clamp to the grid (ref getSubmapCopy, voxel_map.cpp:547-571)
     lo_i = jnp.stack(grid.coord_to_idx(cls_out.aabb_min), axis=-1)  # [K,3] (x,y,z)
@@ -66,14 +60,12 @@ def extract_detections(
     hi_i = jnp.clip(hi_i + 2, 0, sizes - 1)
     ctr_i = (lo_i + hi_i) // 2  # window center
 
+    sub_vals, sub_far, sub_lab = ops.submaps3(grid_vals, far, labels, ctr_i, CS)
+
     r = jnp.arange(CS, dtype=jnp.int32) - half
 
-    def one_cluster(k):
+    def one_cluster(k, vals, fmask, lab):
         cx, cy, cz = ctr_i[k, 0], ctr_i[k, 1], ctr_i[k, 2]
-        start = (cz - half + pad, cy - half + pad, cx - half + pad)
-        vals = lax.dynamic_slice(padded_vals, start, (CS, CS, CS))
-        fmask = lax.dynamic_slice(padded_far, start, (CS, CS, CS))
-        lab = lax.dynamic_slice(padded_lab, start, (CS, CS, CS))
         # absolute indices of window voxels
         zz = jnp.broadcast_to((cz - half + r)[:, None, None], (CS, CS, CS))
         yy = jnp.broadcast_to((cy - half + r)[None, :, None], (CS, CS, CS))
@@ -90,7 +82,7 @@ def extract_detections(
         unc = contrib.sum() / jnp.maximum(cls_out.n_points[k], 1).astype(jnp.float32)
         return jnp.exp(-unc)
 
-    confidence = jax.vmap(one_cluster)(jnp.arange(K))
+    confidence = jax.vmap(one_cluster)(jnp.arange(K), sub_vals, sub_far, sub_lab)
     confidence = jnp.where(is_mav, confidence, 0.0)
 
     # --- detection probability (ref :869-874) ---------------------------------

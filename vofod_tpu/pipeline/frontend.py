@@ -14,8 +14,8 @@ import jax.numpy as jnp
 
 from vofod_tpu.config import VoFODConfig
 from vofod_tpu.geometry import GridSpec, box_mask, se3_apply
-from vofod_tpu.ops.binning import bin_points
 from vofod_tpu.ops.compaction import masked_compact
+from vofod_tpu.parallel.gridops import DENSE
 from vofod_tpu.sensor import RANGE_TO_METERS
 
 Array = jnp.ndarray
@@ -41,6 +41,7 @@ def run_frontend(
     lut_offs: Array,  # float32 [N, 3]
     ranges_mm: Array,  # [N]
     pose: Array,  # [4, 4]
+    ops=DENSE,  # dense-grid op provider (parallel/gridops.py)
 ) -> FrontendOut:
     r = ranges_mm.astype(jnp.float32) * RANGE_TO_METERS
     has_return = r > 0
@@ -55,7 +56,7 @@ def run_frontend(
     in_oparea = box_mask(pts_world, cfg.oparea.lo, cfg.oparea.hi)
 
     valid = has_return & ~in_exclude & in_oparea
-    counts = bin_points(grid, pts_world, valid)
+    counts = ops.bin_points(grid, pts_world, valid)
 
     # raycast opacity: any return inside the grid (airframe hits included —
     # they truncate rays in the reference too, :1455).  Blockers differ from
@@ -72,12 +73,7 @@ def run_frontend(
         jnp.clip(iy, 0, grid.ny - 1),
         jnp.clip(iz, 0, grid.nz - 1),
     )
-    excl_counts = (
-        jnp.zeros((grid.n_voxels,), jnp.int32)
-        .at[jnp.where(evalid, fid, grid.n_voxels)]
-        .add(1, mode="drop")
-        .reshape(grid.shape)
-    )
+    excl_counts = ops.scatter_add(grid, fid, evalid.astype(jnp.int32))
     blockers = (counts > 0) | (excl_counts > 0)
     return FrontendOut(
         counts=counts,

@@ -51,8 +51,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from vofod_tpu.config import DynParams, VoFODConfig
-from vofod_tpu.ops.components import SENTINEL, label_components, propagate_reach
-from vofod_tpu.ops.morphology import ball_pool_max, ball_pool_sum
+from vofod_tpu.ops.components import label_components
+from vofod_tpu.ops.morphology import ball_pool_sum
+from vofod_tpu.parallel.gridops import DENSE
 
 Array = jnp.ndarray
 
@@ -71,8 +72,15 @@ def run_sepclusters(
     prev_safe: Array,
     its_diff: Array,
     max_iters: int = 8,
+    ops=DENSE,
 ) -> SepClustersOut:
     if cfg.sepclusters_exact_census:
+        if ops.is_sharded:
+            raise NotImplementedError(
+                "sepclusters_exact_census is not supported with the grid-"
+                "sharded step (use the default local-density mode, or run "
+                "the exact census unsharded for parity studies)"
+            )
         return run_sepclusters_exact(cfg, dyn, grid_vals, prev_safe, its_diff)
     max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
     adj_radius = math.ceil(max_dist_idx)  # cluster tolerance in index units
@@ -81,18 +89,18 @@ def run_sepclusters(
     sure = grid_vals > dyn.thr_sure_obstacles
 
     # local sure-voxel counts stand in for per-cluster counts (see docstring)
-    local_sure = ball_pool_sum(sure.astype(jnp.int32), float(adj_radius) + 1.0)
+    local_sure = ops.pool_sum(sure.astype(jnp.int32), float(adj_radius) + 1.0)
     seeds = sure & (local_sure.astype(jnp.float32) >= dyn.sepclusters_min_sure_points)
-    sure_sufficient = jnp.any(seeds)
+    sure_sufficient = ops.gany(seeds)
 
     init = (prev_safe & bg) | (seeds & bg)
-    safe, converged = propagate_reach(
+    safe, converged = ops.propagate_reach(
         bg, init, float(adj_radius), max_iters
     )
 
     unsafe = bg & ~safe
     # demotion ball: indices with ||d|| <= max_bg_distance/voxel (ref :1219-1237)
-    demote = ball_pool_max(unsafe.astype(jnp.int32), max_dist_idx, fill=0) > 0
+    demote = ops.pool_max(unsafe.astype(jnp.int32), max_dist_idx, fill=0) > 0
 
     w1 = jnp.clip(jnp.power(0.5, its_diff), 0.0, 1.0)  # ref :1242-1244
     # no demotion at all when no sure cluster exists (ref returns early :1197-1206)

@@ -31,8 +31,8 @@ from vofod_tpu.ops.raycast import (
     gate_faces,
     make_angular_gate,
     raycast_dda,
-    raycast_sweep,
 )
+from vofod_tpu.parallel.gridops import DENSE
 from vofod_tpu.pipeline.background import split_and_update
 from vofod_tpu.pipeline.classify import classify
 from vofod_tpu.pipeline.detect import extract_detections
@@ -61,6 +61,7 @@ def ray_update(
     raylen: Array,
     had_point: Array,
     its_diff: Array,
+    ops=DENSE,
 ) -> Array:
     """Flag-guarded EMA toward the ray score (both reference update rules,
     vofod_nodelet.cpp:1550-1601)."""
@@ -72,7 +73,7 @@ def ray_update(
     w1_new = jnp.exp2(-its_diff * n_int)
 
     # old rule (ref :1574-1601): normalize by the max cell value
-    max_val = jnp.maximum(jnp.max(raylen), 1e-20)
+    max_val = jnp.maximum(ops.gmax(raylen), 1e-20)
     w_single = dyn.raycast_weight_coefficient * jnp.sqrt(raylen / max_val)
     w1_old = jnp.clip(jnp.power(1.0 - w_single, its_diff), 0.0, 1.0)
 
@@ -94,6 +95,7 @@ def make_step_fn(
     jit: bool = True,
     mask=None,
     raycast_gate: bool = True,
+    ops=DENSE,
 ) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
     """Build (or fetch from the process-level cache) the jitted step.
 
@@ -111,6 +113,7 @@ def make_step_fn(
         donate,
         jit,
         raycast_gate,
+        ops.cache_key,
         hashlib.sha1(lut.directions.tobytes() + lut.offsets.tobytes()).hexdigest(),
         hashlib.sha1(
             b"" if mask is None else __import__("numpy").asarray(mask).tobytes()
@@ -121,7 +124,7 @@ def make_step_fn(
         return cached
     fn = _make_step_fn(
         cfg, lut, raycast_mode=raycast_mode, raycast_every=raycast_every,
-        donate=donate, jit=jit, mask=mask, raycast_gate=raycast_gate,
+        donate=donate, jit=jit, mask=mask, raycast_gate=raycast_gate, ops=ops,
     )
     _STEP_CACHE[key] = fn
     return fn
@@ -137,6 +140,7 @@ def _make_step_fn(
     jit: bool = True,
     mask=None,
     raycast_gate: bool = True,
+    ops=DENSE,
     _return_stages: bool = False,
 ) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
     """Build the jitted step function.
@@ -144,6 +148,11 @@ def _make_step_fn(
     raycast_mode: "sweep" (TPU-native transmittance sweep, production),
       "exact" (per-ray DDA + scatter; bit-faithful, slow on TPU), or
       "off".
+    ops: dense-grid op provider (parallel/gridops.py).  The default DENSE
+      runs single-device; ZShardOps runs the identical stage code with the
+      grid Z-sharded inside shard_map (built by
+      parallel/grid_step.make_grid_sharded_step — do not pass it here
+      directly).
     raycast_every: apply the freespace update every N steps with
       its_diff = N (the reference's raycast thread naturally skips scans
       under load and compensates identically, ref :1540-1548).
@@ -153,6 +162,10 @@ def _make_step_fn(
       same per-pixel mask/intensity gates through the angular gate factor
       (ops/raycast.py gate_faces).
     """
+    if ops.is_sharded and raycast_mode == "exact":
+        raise NotImplementedError(
+            "exact DDA raycast is not supported with the grid-sharded step"
+        )
     grid = GridSpec.from_config(cfg)
     lut_dirs = jnp.asarray(lut.directions)
     lut_offs = jnp.asarray(lut.offsets)
@@ -174,10 +187,12 @@ def _make_step_fn(
         sensor_pos = pose[:3, 3]
 
         # 1. frontend
-        fe = run_frontend(cfg, grid, lut_dirs, lut_offs, scan.ranges_mm, pose)
+        fe = run_frontend(
+            cfg, grid, lut_dirs, lut_offs, scan.ranges_mm, pose, ops=ops
+        )
 
         # 2-3. split + point update
-        bg = split_and_update(cfg, dyn, state.grid, fe.counts)
+        bg = split_and_update(cfg, dyn, state.grid, fe.counts, ops=ops)
 
         # 4. classification (+ frontier demotions)
         cls = classify(
@@ -191,12 +206,13 @@ def _make_step_fn(
             sensor_pos,
             bg.bg_sufficient,
             state.sure_bg_sufficient,
+            ops=ops,
         )
 
         # 5. detections
         dets, det_counter = extract_detections(
             cfg, dyn, grid, cls.grid, cls.labels, bg.far, cls, sensor_pos,
-            state.det_counter,
+            state.det_counter, ops=ops,
         )
         return fe, bg, cls, dets, det_counter
 
@@ -250,7 +266,7 @@ def _make_step_fn(
                         ),
                         rot,
                     )
-                raylen = raycast_sweep(
+                raylen = ops.raycast_sweep(
                     grid,
                     blockers,
                     sensor_pos,
@@ -263,7 +279,7 @@ def _make_step_fn(
                 )
             return ray_update(
                 cfg, dyn, vals, raylen, occupied,
-                jnp.float32(raycast_every),
+                jnp.float32(raycast_every), ops=ops,
             )
 
         return jax.lax.cond(do_ray, with_ray, lambda v: v, vals)
@@ -279,7 +295,8 @@ def _make_step_fn(
         def with_sep(args):
             vals, safe = args
             out = run_sepclusters(
-                cfg, dyn, vals, safe, jnp.float32(cfg.sepclusters_every)
+                cfg, dyn, vals, safe, jnp.float32(cfg.sepclusters_every),
+                ops=ops,
             )
             return out.grid, out.safe, out.sure_bg_sufficient, out.converged
 
@@ -303,7 +320,7 @@ def _make_step_fn(
             n_bg_voxels=bg.n_bg_voxels,
             bg_sufficient=bg.bg_sufficient,
             sure_bg_sufficient=sure_bg,
-            n_occupied=bg.occupied.sum().astype(jnp.int32),
+            n_occupied=ops.gsum(bg.occupied).astype(jnp.int32),
             n_far=cls.n_far,
             far_overflow=cls.far_overflow,
             cc_converged=bg.cc_converged & cls.labels_converged,
