@@ -260,3 +260,45 @@ class TestSweep:
         # pointwise: most voxels within a factor of 2
         ratio = (a + 1e-3) / (b + 1e-3)
         assert np.mean((ratio > 0.5) & (ratio < 2.0)) > 0.85
+
+
+class TestSweepWindow:
+    """Static max-distance window around the sensor (raycast_sweep
+    max_distance_bound): in-range output must match the full-frame sweep and
+    everything outside the window must be zero."""
+
+    def _setup(self, rng, sensor):
+        grid = GridSpec(origin=(0.0, 0.0, 0.0), shape=(20, 160, 160),
+                        voxel_size=0.5)
+        blockers = jnp.asarray(rng.random(grid.shape) < 0.03)
+        origin = jnp.asarray(sensor, jnp.float32)
+        rot = jnp.eye(3, dtype=jnp.float32)
+        kw = dict(max_distance=jnp.float32(10.0),
+                  vertical_fov=np.deg2rad(90.0), v_rays=16, h_rays=64)
+        return grid, blockers, origin, rot, kw
+
+    @pytest.mark.parametrize("sensor", [(40.0, 40.0, 5.0), (2.0, 78.0, 5.0)])
+    def test_windowed_matches_full(self, rng, sensor):
+        grid, blockers, origin, rot, kw = self._setup(rng, sensor)
+        full = np.asarray(raycast_sweep(grid, blockers, origin, rot, **kw))
+        win = np.asarray(
+            raycast_sweep(grid, blockers, origin, rot,
+                          max_distance_bound=10.0, **kw)
+        )
+        # identical inside range (window margin covers the tap support; any
+        # residual difference is the smoothing tail of blockers outside the
+        # window — must be far below the EMA's sensitivity)
+        np.testing.assert_allclose(win, full, atol=1e-4)
+        # in-range values are present (the window did not clip real signal)
+        assert (win > 0).sum() == (full > 0).sum()
+
+    def test_outside_window_zero(self, rng):
+        grid, blockers, origin, rot, kw = self._setup(rng, (40.0, 40.0, 5.0))
+        win = np.asarray(
+            raycast_sweep(grid, blockers, origin, rot,
+                          max_distance_bound=10.0, **kw)
+        )
+        # beyond bound + margin from the sensor, strictly zero
+        xs = (np.arange(160) + 0.5) * 0.5 - 40.0
+        far_cols = np.abs(xs) > 10.0 + 8 * 0.5 + 0.5
+        assert np.all(win[:, :, far_cols] == 0.0)

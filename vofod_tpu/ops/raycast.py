@@ -517,6 +517,7 @@ def raycast_sweep(
     v_rays: int,
     h_rays: int,
     gate: Array | None = None,
+    max_distance_bound: float | None = None,
 ) -> Array:
     """Gather-free accumulated-ray-length field (see module docstring).
 
@@ -534,9 +535,81 @@ def raycast_sweep(
         :func:`gate_faces` — honors the reference's per-pixel FOV-mask and
         intensity gates (ref vofod_nodelet.cpp:1449-1450) as a multiplicative
         ray-density factor.
+      max_distance_bound: optional STATIC upper bound on max_distance
+        (cfg.raycast_max_distance_bound).  When given, the sweep runs on a
+        static x/y window of ±(bound/voxel + margin) voxels around the
+        sensor — everything farther is masked to 0 by ``in_range`` anyway,
+        and the sweep cost is proportional to swept volume (measured, see
+        DESIGN.md §7), so the flagship window is ~4× cheaper than the full
+        frame.  Values inside range are unchanged up to the smoothing-tail
+        influence of blockers beyond bound+margin (≲1e-3 relative; the
+        window edge fills 1.0 = empty space, exactly like the grid edge).
 
     Returns: float32 (nz, ny, nx) raylen field (≈ sum of ray chord lengths).
     """
+    nz, ny, nx = grid.shape
+    vs = grid.voxel_size
+    ox, oy, oz = grid.origin
+    gx = (origin_world[0] - ox) / vs  # sensor position in voxel units
+    gy = (origin_world[1] - oy) / vs
+    gz = (origin_world[2] - oz) / vs
+    rel_z = jnp.arange(nz, dtype=jnp.float32) + 0.5 - gz
+
+    wx, wy = _window_sizes(nx, ny, vs, max_distance_bound)
+    if (wx, wy) != (nx, ny):
+        x0 = jnp.clip(
+            jnp.floor(gx).astype(jnp.int32) - wx // 2, 0, nx - wx
+        )
+        y0 = jnp.clip(
+            jnp.floor(gy).astype(jnp.int32) - wy // 2, 0, ny - wy
+        )
+        op_w = lax.dynamic_slice(opaque, (0, y0, x0), (nz, wy, wx))
+        rel_x = (
+            jnp.arange(wx, dtype=jnp.float32) + x0.astype(jnp.float32)
+            + 0.5 - gx
+        )
+        rel_y = (
+            jnp.arange(wy, dtype=jnp.float32) + y0.astype(jnp.float32)
+            + 0.5 - gy
+        )
+        raylen_w = _sweep_frame(
+            vs, op_w, rel_x, rel_y, rel_z, rot_s2w, gate,
+            max_distance, vertical_fov, v_rays, h_rays,
+        )
+        return lax.dynamic_update_slice(
+            jnp.zeros((nz, ny, nx), jnp.float32), raylen_w, (0, y0, x0)
+        )
+
+    rel_x = jnp.arange(nx, dtype=jnp.float32) + 0.5 - gx  # [nx]
+    rel_y = jnp.arange(ny, dtype=jnp.float32) + 0.5 - gy
+    return _sweep_frame(
+        vs, opaque, rel_x, rel_y, rel_z, rot_s2w, gate,
+        max_distance, vertical_fov, v_rays, h_rays,
+    )
+
+
+# margin (voxels) beyond the max-distance ball kept inside the sweep window:
+# generous cover for the interpolation tents' lateral support so in-range
+# values are unaffected by the crop (see raycast_sweep docstring)
+_WINDOW_MARGIN = 8
+
+
+def _window_sizes(
+    nx: int, ny: int, vs: float, bound: float | None
+) -> tuple[int, int]:
+    if bound is None:
+        return nx, ny
+    r = int(math.ceil(bound / vs)) + _WINDOW_MARGIN
+    w = 2 * r + 1
+    return min(nx, w), min(ny, w)
+
+
+def _sweep_frame(
+    vs, opaque, rel_x, rel_y, rel_z, rot_s2w, gate,
+    max_distance, vertical_fov, v_rays, h_rays,
+):
+    """The six cone sweeps + assembly on one (possibly windowed) frame."""
+    nz, ny, nx = opaque.shape
     sweep_cones = _sweep_cones
     from vofod_tpu.ops.pallas_sweep import use_pallas_sweep
 
@@ -544,17 +617,6 @@ def raycast_sweep(
         from vofod_tpu.ops.pallas_sweep import pallas_sweep_cones
 
         sweep_cones = pallas_sweep_cones
-
-    nz, ny, nx = grid.shape
-    vs = grid.voxel_size
-    ox, oy, oz = grid.origin
-    gx = (origin_world[0] - ox) / vs  # sensor position in voxel units
-    gy = (origin_world[1] - oy) / vs
-    gz = (origin_world[2] - oz) / vs
-
-    rel_x = jnp.arange(nx, dtype=jnp.float32) + 0.5 - gx  # [nx]
-    rel_y = jnp.arange(ny, dtype=jnp.float32) + 0.5 - gy
-    rel_z = jnp.arange(nz, dtype=jnp.float32) + 0.5 - gz
 
     op = opaque.astype(jnp.float32)
 
@@ -695,6 +757,7 @@ def raycast_sweep_zsharded(
     v_rays: int,
     h_rays: int,
     gate: Array | None = None,
+    max_distance_bound: float | None = None,
     axis: str,
     n_shards: int,
 ) -> Array:
@@ -703,7 +766,9 @@ def raycast_sweep_zsharded(
     shard_map).  The x/y cone group runs lateral-sharded (per-plane carry
     halos over ICI, :func:`_sweep_cones_lat_sharded`); the z cone group runs
     sweep-sharded/pipelined (:func:`_sweep_cones_z_pipelined`).  Outputs
-    match the unsharded sweep bit-for-bit (tests/test_grid_step.py)."""
+    match the unsharded sweep bit-for-bit (tests/test_grid_step.py) —
+    including the static x/y window around the sensor (window offsets are
+    replicated; only unsharded axes are cropped)."""
     nz, ny, nx = grid.shape  # GLOBAL
     nzl = opaque.shape[0]
     vs = grid.voxel_size
@@ -713,12 +778,45 @@ def raycast_sweep_zsharded(
     gz = (origin_world[2] - oz) / vs
 
     z0 = lax.axis_index(axis) * nzl
-    rel_x = jnp.arange(nx, dtype=jnp.float32) + 0.5 - gx
-    rel_y = jnp.arange(ny, dtype=jnp.float32) + 0.5 - gy
     rel_z = (
         jnp.arange(nzl, dtype=jnp.float32) + z0.astype(jnp.float32) + 0.5 - gz
     )
 
+    wx, wy = _window_sizes(nx, ny, vs, max_distance_bound)
+    if (wx, wy) != (nx, ny):
+        x0 = jnp.clip(jnp.floor(gx).astype(jnp.int32) - wx // 2, 0, nx - wx)
+        y0 = jnp.clip(jnp.floor(gy).astype(jnp.int32) - wy // 2, 0, ny - wy)
+        op_w = lax.dynamic_slice(opaque, (0, y0, x0), (nzl, wy, wx))
+        rel_x = (
+            jnp.arange(wx, dtype=jnp.float32) + x0.astype(jnp.float32)
+            + 0.5 - gx
+        )
+        rel_y = (
+            jnp.arange(wy, dtype=jnp.float32) + y0.astype(jnp.float32)
+            + 0.5 - gy
+        )
+        raylen_w = _sweep_frame_zsharded(
+            vs, op_w, rel_x, rel_y, rel_z, rot_s2w, gate,
+            max_distance, vertical_fov, v_rays, h_rays, axis, n_shards,
+        )
+        return lax.dynamic_update_slice(
+            jnp.zeros((nzl, ny, nx), jnp.float32), raylen_w, (0, y0, x0)
+        )
+
+    rel_x = jnp.arange(nx, dtype=jnp.float32) + 0.5 - gx
+    rel_y = jnp.arange(ny, dtype=jnp.float32) + 0.5 - gy
+    return _sweep_frame_zsharded(
+        vs, opaque, rel_x, rel_y, rel_z, rot_s2w, gate,
+        max_distance, vertical_fov, v_rays, h_rays, axis, n_shards,
+    )
+
+
+def _sweep_frame_zsharded(
+    vs, opaque, rel_x, rel_y, rel_z, rot_s2w, gate,
+    max_distance, vertical_fov, v_rays, h_rays, axis, n_shards,
+):
+    """The six Z-sharded cone sweeps + assembly on one (windowed) frame."""
+    nzl, ny, nx = opaque.shape
     op = opaque.astype(jnp.float32)
 
     def _pad_tail(a, axis_i, n, value):

@@ -276,6 +276,10 @@ def _make_step_fn(
                     v_rays=cfg.sensor.vertical_rays,
                     h_rays=cfg.sensor.horizontal_rays,
                     gate=faces,
+                    # static window around the sensor: the sweep cost is
+                    # volume-proportional and everything beyond the bound is
+                    # masked anyway (raycast.py raycast_sweep docstring)
+                    max_distance_bound=cfg.raycast_max_distance_bound,
                 )
             return ray_update(
                 cfg, dyn, vals, raylen, occupied,
