@@ -140,7 +140,11 @@ def classify(
 
     # dense mask of member voxels of gated clusters -> second compaction
     rep_sel = jnp.where(qgate, reps, jnp.int32(-2))  # -2 matches nothing
-    qmask = far & jnp.isin(labels, rep_sel)
+    # broadcast compare instead of jnp.isin: measured ~0.9 ms -> ~0.1 ms on
+    # v5e (isin's sorting-based lowering loses badly at K=32 set size)
+    qmask = far & jnp.any(
+        labels[..., None] == rep_sel, axis=-1
+    )
     qids, qvalid, qtotal = ops.compact(qmask, Q)
     query_overflow = qtotal > Q
     qx, qy, qz = grid.unflatten_id(qids)
