@@ -31,23 +31,37 @@ def main():
     from vofod_tpu.pipeline.step import make_step_fn
     from vofod_tpu.sensor import make_lut
 
-    cfg = VoFODConfig()
+    # sepclusters_every=10: the reference runs separated-background
+    # maintenance on a FIXED 10 Hz thread regardless of scan rate
+    # (vofod_nodelet.cpp:1280-1294, period detection_params.yaml:3), so at
+    # 100+ scans/s the faithful schedule is every ~10th scan with
+    # its_diff = 10 — the EMA compensation is identical by construction
+    # (pipeline/step.py sep_stage).  Running it per scan would be ~10x MORE
+    # maintenance than the reference performs per unit time.
+    cfg = VoFODConfig(sepclusters_every=10)
     dyn = DynParams().as_arrays()
     lut = make_lut(cfg.sensor)
     step = make_step_fn(cfg, lut, raycast_mode="sweep", donate=True)
 
-    # scene: ground + a structure + a flying target, sensor hovering
-    scene = Scene(ground_z=-1.0)
-    scene.add_box((50.0, 30.0, -1.0), (54.0, 34.0, 5.0))
-    scene.add_sphere(center=(25.0, 15.0, 6.0), radius=0.5)
-    poses = [
-        hover_pose((40.0, 20.0, 3.0), yaw=0.0),
-        hover_pose((40.5, 20.0, 3.1), yaw=0.05),
-        hover_pose((41.0, 20.5, 3.0), yaw=0.10),
-        hover_pose((40.5, 21.0, 3.1), yaw=0.05),
-    ]
+    # scene: ground + a structure + a target ORBITING while the sensor flies
+    # its own arc — every scan in the cycle has different content and pose,
+    # so no step can be served by content-dependent fast paths or caching
+    n_scans = 12
     scans = []
-    for p in poses:
+    poses = []
+    for k in range(n_scans):
+        a = 2.0 * np.pi * k / n_scans
+        scene = Scene(ground_z=-1.0)
+        scene.add_box((50.0, 30.0, -1.0), (54.0, 34.0, 5.0))
+        scene.add_sphere(
+            center=(25.0 + 4.0 * np.cos(a), 15.0 + 4.0 * np.sin(a), 6.0),
+            radius=0.5,
+        )
+        p = hover_pose(
+            (40.0 + 1.5 * np.cos(a), 20.0 + 1.5 * np.sin(a), 3.0 + 0.2 * np.sin(2 * a)),
+            yaw=0.1 * np.sin(a),
+        )
+        poses.append(p)
         r = render_scan(scene, lut, p)
         scans.append(
             ScanInput(
@@ -58,12 +72,14 @@ def main():
         )
 
     state = init_state(cfg)
-    # apriori ground patch — deployments always bootstrap the background
-    # (ref config/apriori_maps); without it the detector idles in its
+    # apriori ground plane over the scanned area — deployments bootstrap the
+    # background from an apriori map covering the WHOLE operation area (ref
+    # config/apriori_maps/sim.yaml); without it the detector idles in its
     # cold-start state and the benchmark would measure the unconverged
     # worst case instead of production steady state
-    xs = np.arange(30.0, 50.0, 0.4)
-    gx, gy = np.meshgrid(xs, xs - 10.0)
+    xs = np.arange(10.0, 60.0, 0.4)
+    ys = np.arange(0.0, 45.0, 0.4)
+    gx, gy = np.meshgrid(xs, ys)
     g = np.stack(
         [gx.ravel(), gy.ravel(), np.full(gx.size, -1.0)], axis=1
     ).astype(np.float32)
@@ -82,7 +98,7 @@ def main():
     # several rounds, best wins: the measurement path to the device is a
     # shared tunnel with bursty latency, and the detector itself is
     # steady-state periodic — min round time is the honest throughput
-    n_iter, n_rounds = 40, 4
+    n_iter, n_rounds = 48, 4
     best = float("inf")
     for _ in range(n_rounds):
         t0 = time.perf_counter()

@@ -59,7 +59,8 @@ def propagate_reach(
 
     def body(state):
         cur, _, it = state
-        grown = occ & (ball_pool_max(cur.astype(jnp.int32), radius, fill=0) > 0)
+        # int8: the mask is binary and the pool is HBM-bandwidth-bound
+        grown = occ & (ball_pool_max(cur.astype(jnp.int8), radius, fill=0) > 0)
         new = cur | grown
         return new, jnp.any(new != cur), it + 1
 

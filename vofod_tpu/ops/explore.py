@@ -172,16 +172,26 @@ def apply_demotions(
     else:
         padded = jnp.pad(vmap_grid, pad, constant_values=jnp.float32(0))
 
+    # iterate only over the queries that actually demote: the sequential
+    # read-modify-write is the cost (each patch op is tiny but serialized),
+    # and demoting queries are typically a handful out of Q slots.  The
+    # compaction of a [Q] mask is negligible; the fori bound is traced
+    # (lowers to while), trading unrolling for ~Q/n_demote fewer steps.
+    from vofod_tpu.ops.compaction import masked_compact
+
+    dids, _, dtotal = masked_compact(demote, Q)
+
     def body(i, acc):
-        z0 = corners[i, 0] - z_off + pad
-        y0 = corners[i, 1] + pad
-        x0 = corners[i, 2] + pad
+        k = dids[i]
+        z0 = corners[k, 0] - z_off + pad
+        y0 = corners[k, 1] + pad
+        x0 = corners[k, 2] + pad
         patch = lax.dynamic_slice(acc, (z0, y0, x0), (S, S, S))
-        mask = reached[i] & demote[i]
+        mask = reached[k] & demote[k]
         new = jnp.where(mask, jnp.minimum(patch, thr_frontiers), patch)
         return lax.dynamic_update_slice(acc, new, (z0, y0, x0))
 
-    padded = lax.fori_loop(0, Q, body, padded)
+    padded = lax.fori_loop(0, jnp.minimum(dtotal, Q), body, padded)
     nz, ny, nx = vmap_grid.shape
     if z_halo:
         return padded[:, pad : pad + ny, pad : pad + nx]

@@ -327,7 +327,7 @@ class ZShardOps:
 
         def body(state):
             cur, _, it = state
-            grown = occ & (self.pool_max(cur.astype(jnp.int32), radius, fill=0) > 0)
+            grown = occ & (self.pool_max(cur.astype(jnp.int8), radius, fill=0) > 0)
             new = cur | grown
             return new, self.gany(new != cur), it + 1
 

@@ -53,7 +53,7 @@ def split_and_update(
 
     # --- close/far split + component labels (one propagation) ---------------
     occupied = counts > 0
-    bg_near = ops.pool_max(bg_mask.astype(jnp.int32), radius, fill=0) > 0
+    bg_near = ops.pool_max(bg_mask.astype(jnp.int8), radius, fill=0) > 0
     seed = occupied & bg_near
     labels, close, cc_converged, cc_iters = ops.label_seeded(
         occupied, seed, radius, cfg.cc_sweeps

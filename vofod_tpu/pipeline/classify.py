@@ -152,35 +152,58 @@ def classify(
     qslot = qvalid[:, None] & (qlabels[:, None] == reps[None, :])  # [Q, K]
     m_q = (qslot.astype(jnp.int32) @ m_k).astype(jnp.int32)  # [Q]
 
-    def run_explore(vals):
-        connected, reached, corners = ops.explore(
-            grid,
-            vals,
-            qx,
-            qy,
-            qz,
-            qvalid,
-            m_q,
-            dyn.thr_frontiers,
-            dyn.thr_new_obstacles,
-            cfg.explore_submap,
-        )
-        cluster_connected = jnp.any(qslot & connected[:, None], axis=0)  # [K]
-        # under query overflow some members were never explored: conservative
-        floating = qgate & ~cluster_connected & ~query_overflow
-        demote = qvalid & jnp.any(qslot & floating[None, :], axis=1)
-        new_vals = jax.lax.cond(
-            jnp.any(demote),
-            lambda v: ops.demote(v, reached, corners, demote, dyn.thr_frontiers),
-            lambda v: v,
-            vals,
-        )
-        return floating, new_vals
+    def make_explore(n):
+        """Explore/demote over the first ``n`` query slots.  Queries fill in
+        ascending order, so when qtotal <= n this is EXACTLY the full-capacity
+        result — the fast path below trims the batched BFS (its cost scales
+        with the [n, S, S, S] arrays) to the common case of a handful of
+        gated-cluster members."""
 
-    floating, new_vals = jax.lax.cond(
-        jnp.any(qvalid),
-        run_explore,
-        lambda vals: (jnp.zeros((K,), jnp.bool_), vals),
+        def run(vals):
+            connected, reached, corners = ops.explore(
+                grid,
+                vals,
+                qx[:n],
+                qy[:n],
+                qz[:n],
+                qvalid[:n],
+                m_q[:n],
+                dyn.thr_frontiers,
+                dyn.thr_new_obstacles,
+                cfg.explore_submap,
+            )
+            cluster_connected = jnp.any(
+                qslot[:n] & connected[:, None], axis=0
+            )  # [K]
+            # under query overflow some members were never explored:
+            # conservative
+            floating = qgate & ~cluster_connected & ~query_overflow
+            demote = qvalid[:n] & jnp.any(qslot[:n] & floating[None, :], axis=1)
+            new_vals = jax.lax.cond(
+                jnp.any(demote),
+                lambda v: ops.demote(
+                    v, reached, corners, demote, dyn.thr_frontiers
+                ),
+                lambda v: v,
+                vals,
+            )
+            return floating, new_vals
+
+        return run
+
+    QF = min(32, Q)
+    branch = jnp.where(
+        ~jnp.any(qvalid),
+        0,
+        jnp.where(qtotal <= QF, 1, 2),
+    )
+    floating, new_vals = jax.lax.switch(
+        branch,
+        [
+            lambda vals: (jnp.zeros((K,), jnp.bool_), vals),
+            make_explore(QF),
+            make_explore(Q),
+        ],
         grid_vals,
     )
 

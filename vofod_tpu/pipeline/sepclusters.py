@@ -100,7 +100,7 @@ def run_sepclusters(
 
     unsafe = bg & ~safe
     # demotion ball: indices with ||d|| <= max_bg_distance/voxel (ref :1219-1237)
-    demote = ops.pool_max(unsafe.astype(jnp.int32), max_dist_idx, fill=0) > 0
+    demote = ops.pool_max(unsafe.astype(jnp.int8), max_dist_idx, fill=0) > 0
 
     w1 = jnp.clip(jnp.power(0.5, its_diff), 0.0, 1.0)  # ref :1242-1244
     # no demotion at all when no sure cluster exists (ref returns early :1197-1206)
