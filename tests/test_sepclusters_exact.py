@@ -142,3 +142,73 @@ class TestExactCensus:
         )
         assert bool(out.sure_bg_sufficient)
         assert np.asarray(out.grid)[4, 8, 8] == 0.0
+
+
+class TestCoarseLeafBoundary:
+    def test_out_of_grid_center_still_demotes(self):
+        """lsz >= 2 regression: a boundary coarse cell's integer center can
+        fall OUTSIDE the fine grid while its demotion ball reaches in-grid
+        voxels — the reference bounds-checks per offset around the
+        (possibly out-of-grid) center (ref vofod_nodelet.cpp:1253-1260).
+        With sepclusters_max_bg_distance=1.3 (mv=3, leaf=2) an unsure bg
+        voxel on the top plane must still be decayed."""
+        cfg = _cfg(sepclusters_max_bg_distance=1.3)
+        dyn_obj = DynParams()
+        dyn = dyn_obj.as_arrays()
+        shape = cfg.grid_shape
+        vals = np.full(shape, -740.0, np.float32)
+        vals[2:4, 2:10, 2:10] = 0.0  # sure anchor cluster
+        vals[shape[0] - 1, 20, 20] = -200.0  # isolated unsure bg at the top
+
+        out = run_sepclusters_exact(
+            cfg, dyn, jnp.asarray(vals), jnp.zeros(shape, bool),
+            jnp.float32(1.0),
+        )
+        want, want_suff = sepclusters_exact_np(
+            vals,
+            thr_new=dyn_obj.thr_new_obstacles,
+            thr_sure=dyn_obj.thr_sure_obstacles,
+            min_sure_points=dyn_obj.sepclusters_min_sure_points,
+            max_dist_idx=cfg.sepclusters_max_bg_distance / cfg.voxel_size,
+            score_ray=dyn_obj.score_ray,
+            its_diff=1.0,
+            quirk_indexing=False,
+        )
+        assert want_suff
+        # the boundary voxel was demoted by the oracle; we must match
+        assert want[shape[0] - 1, 20, 20] < -200.0
+        assert bool(out.sure_bg_sufficient) == want_suff
+        np.testing.assert_allclose(np.asarray(out.grid), want, rtol=1e-5,
+                                   atol=1e-4)
+
+    def test_matches_verbatim_oracle_leaf2(self, rng):
+        """Random scene at lsz=2 (non-identity coarse binning) vs the
+        verbatim oracle."""
+        cfg = _cfg(sepclusters_max_bg_distance=1.3)
+        dyn_obj = DynParams()
+        dyn = dyn_obj.as_arrays()
+        shape = cfg.grid_shape
+        vals = np.full(shape, -740.0, np.float32)
+        vals[2:4, 2:8, 2:8] = 0.0
+        idx = rng.integers(0, np.prod(shape), size=80)
+        flat = vals.reshape(-1)
+        flat[idx] = rng.choice([-200.0, -50.0, 0.5], size=80).astype(np.float32)
+        vals = flat.reshape(shape)
+
+        out = run_sepclusters_exact(
+            cfg, dyn, jnp.asarray(vals), jnp.zeros(shape, bool),
+            jnp.float32(1.0),
+        )
+        want, want_suff = sepclusters_exact_np(
+            vals,
+            thr_new=dyn_obj.thr_new_obstacles,
+            thr_sure=dyn_obj.thr_sure_obstacles,
+            min_sure_points=dyn_obj.sepclusters_min_sure_points,
+            max_dist_idx=cfg.sepclusters_max_bg_distance / cfg.voxel_size,
+            score_ray=dyn_obj.score_ray,
+            its_diff=1.0,
+            quirk_indexing=False,
+        )
+        assert bool(out.sure_bg_sufficient) == want_suff
+        np.testing.assert_allclose(np.asarray(out.grid), want, rtol=1e-5,
+                                   atol=1e-4)

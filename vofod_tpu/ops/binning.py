@@ -22,6 +22,25 @@ from vofod_tpu.geometry import GridSpec
 Array = jnp.ndarray
 
 
+def point_fids(
+    grid: GridSpec, pts: Array, valid: Array
+) -> tuple[Array, Array]:
+    """Shared point→voxel-id front half of the binning scatter: clamped flat
+    ids + in-bounds mask.  Both the dense histogram below and the Z-sharded
+    scatter (parallel/gridops.ZShardOps.bin_points) build on this, so the
+    masking/clipping semantics can never diverge between the two providers.
+
+    Returns (fid int32 [N] clamped into the grid, inb bool [N])."""
+    ix, iy, iz = grid.coord_to_idx(pts)
+    inb = grid.in_limits_idx(ix, iy, iz) & valid
+    fid = grid.flat_id(
+        jnp.clip(ix, 0, grid.nx - 1),
+        jnp.clip(iy, 0, grid.ny - 1),
+        jnp.clip(iz, 0, grid.nz - 1),
+    )
+    return fid, inb
+
+
 def bin_points(
     grid: GridSpec, pts: Array, valid: Array, weights: Array | None = None
 ) -> Array:
@@ -40,13 +59,7 @@ def bin_points(
       The weighted-downsample "cloud" of the reference is exactly
       {voxel centers of counts>0, weight=counts}.
     """
-    ix, iy, iz = grid.coord_to_idx(pts)
-    inb = grid.in_limits_idx(ix, iy, iz) & valid
-    fid = grid.flat_id(
-        jnp.clip(ix, 0, grid.nx - 1),
-        jnp.clip(iy, 0, grid.ny - 1),
-        jnp.clip(iz, 0, grid.nz - 1),
-    )
+    fid, inb = point_fids(grid, pts, valid)
     if weights is None:
         w = inb.astype(jnp.int32)
     else:

@@ -353,13 +353,7 @@ class ZShardOps:
         )
 
     def bin_points(self, grid: GridSpec, pts: Array, valid: Array) -> Array:
-        ix, iy, iz = grid.coord_to_idx(pts)
-        inb = grid.in_limits_idx(ix, iy, iz) & valid
-        fid = grid.flat_id(
-            jnp.clip(ix, 0, grid.nx - 1),
-            jnp.clip(iy, 0, grid.ny - 1),
-            jnp.clip(iz, 0, grid.nz - 1),
-        )
+        fid, inb = binning.point_fids(grid, pts, valid)
         return self.scatter_add(grid, fid, inb.astype(jnp.int32))
 
     # ---- compaction / list bridge ---------------------------------------------------

@@ -191,7 +191,7 @@ def classify(
 
         return run
 
-    QF = min(32, Q)
+    QF = min(cfg.explore_fast_queries, Q) if cfg.explore_fast_queries > 0 else Q
     branch = jnp.where(
         ~jnp.any(qvalid),
         0,

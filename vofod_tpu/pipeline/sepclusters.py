@@ -144,20 +144,23 @@ def _upsample_coarse(mask_c: Array, lsz: int, fine_shape) -> Array:
     return m[:nz, :ny, :nx]
 
 
-def _center_mask(mask_c: Array, lsz: int, fine_shape) -> Array:
-    """Fine-lattice mask holding one True per coarse cell, at the coarse cell
-    center cast to int: ijk*lsz + lsz//2 (ref demotion positions,
-    vofod_nodelet.cpp:1253 ``getVector3fMap().cast<int>()``)."""
+def _center_mask(mask_c: Array, lsz: int) -> Array:
+    """EXTENDED-lattice mask (ncz*lsz, ncy*lsz, ncx*lsz) holding one True per
+    coarse cell, at the coarse cell center cast to int: ijk*lsz + lsz//2 (ref
+    demotion positions, vofod_nodelet.cpp:1253
+    ``getVector3fMap().cast<int>()``).  NOT cropped to the fine grid: for
+    lsz >= 2 a boundary cell's center can fall OUTSIDE the fine grid while
+    its demotion ball still reaches in-grid voxels (the reference bounds-
+    checks per offset, :1253-1260) — callers pool on the extended lattice
+    and crop the result."""
     ncz, ncy, ncx = mask_c.shape
     pat = jnp.zeros((lsz,), bool).at[lsz // 2].set(True)
-    m = (
+    return (
         mask_c[:, None, :, None, :, None]
         & pat[None, :, None, None, None, None]
         & pat[None, None, None, :, None, None]
         & pat[None, None, None, None, None, :]
     ).reshape(ncz * lsz, ncy * lsz, ncx * lsz)
-    nz, ny, nx = fine_shape
-    return m[:nz, :ny, :nx]
 
 
 def _quirk_sure_counts(bg: Array, sure: Array, lsz: int) -> Array:
@@ -245,9 +248,14 @@ def run_sepclusters_exact(
     # demotion ball around each unsure coarse cell CENTER (ref :1219-1260).
     # The reference EMA-updates the live map once per (cell, offset) pair, so
     # a voxel covered by k overlapping balls is demoted k times — repeated
-    # EMA toward the same target composes to w1^k (ref :1240-1260).
-    centers = _center_mask(unsure_c, lsz, bg.shape)
-    k = ball_pool_sum(centers.astype(jnp.int32), max_dist_idx)
+    # EMA toward the same target composes to w1^k (ref :1240-1260).  Pool on
+    # the extended coarse lattice and crop: boundary-cell centers may sit
+    # OUTSIDE the fine grid while their balls reach in-grid voxels.
+    centers = _center_mask(unsure_c, lsz)
+    nzf, nyf, nxf = bg.shape
+    k = ball_pool_sum(centers.astype(jnp.int32), max_dist_idx)[
+        :nzf, :nyf, :nxf
+    ]
 
     w1 = jnp.clip(jnp.power(0.5, its_diff), 0.0, 1.0)  # ref :1242-1244
     w1k = jnp.power(w1, k.astype(jnp.float32))  # k = 0 -> identity

@@ -379,23 +379,41 @@ class StagedStep:
         self.last_timings: dict[str, float] = {}
 
     def __call__(
-        self, state: VoFODState, scan: ScanInput, dyn: DynParams
+        self,
+        state: VoFODState,
+        scan: ScanInput,
+        dyn: DynParams,
+        stage_ctx: Callable | None = None,
     ) -> tuple[VoFODState, StepOutput]:
+        """Run the three stages, blocking after each.
+
+        ``stage_ctx(name)`` (names "cnc" / "raycasting" / "sepbgclusters")
+        may return a context manager entered around each stage — the
+        runtime's profiling stream brackets the dispatches with routine
+        START/END events this way (runtime/node.py), so event stamps AND
+        ``last_timings`` come from the same single drive of the pipeline.
+        """
+        import contextlib
         import time
 
+        ctx = stage_ctx or (lambda name: contextlib.nullcontext())
         t0 = time.perf_counter()
-        fe, bg, cls, dets, det_counter = jax.block_until_ready(
-            self._cnc(state, scan, dyn)
-        )
+        with ctx("cnc"):
+            fe, bg, cls, dets, det_counter = jax.block_until_ready(
+                self._cnc(state, scan, dyn)
+            )
         t1 = time.perf_counter()
-        vals = jax.block_until_ready(
-            self._ray(scan, dyn, state.step, cls.grid, bg.occupied, fe.blockers)
-        )
+        with ctx("raycasting"):
+            vals = jax.block_until_ready(
+                self._ray(scan, dyn, state.step, cls.grid, bg.occupied,
+                          fe.blockers)
+            )
         t2 = time.perf_counter()
-        vals, safe, sure_bg, sep_conv = jax.block_until_ready(
-            self._sep(dyn, state.step, vals, state.safe,
-                      state.sure_bg_sufficient)
-        )
+        with ctx("sepbgclusters"):
+            vals, safe, sure_bg, sep_conv = jax.block_until_ready(
+                self._sep(dyn, state.step, vals, state.safe,
+                          state.sure_bg_sufficient)
+            )
         t3 = time.perf_counter()
         self.last_timings = {
             "cnc": t1 - t0, "raycasting": t2 - t1, "sepbgclusters": t3 - t2

@@ -1,9 +1,11 @@
 """FleetVoFOD: multi-stream serving over a device mesh.
 
 The production scaling story (DESIGN.md §6): N independent sensor streams,
-one detector state each, batched with vmap and sharded over the mesh "data"
-axis.  Each chip runs its streams' full pipeline locally; throughput scales
-linearly with chips since no collectives appear on the hot path.
+one detector state each, sharded over the mesh "data" axis with shard_map;
+each chip runs its local streams through the UNBATCHED step under lax.scan
+(parallel/sharding.py::make_batched_step — vmap-batching the step was a
+measured 2.5× pessimization, see the sharding module docstring).  Throughput
+scales linearly with chips since no collectives appear on the hot path.
 
 This replaces (and massively widens) the reference's N pointcloud_loop worker
 threads over one shared map (vofod_nodelet.cpp:1324-1328) — the reference

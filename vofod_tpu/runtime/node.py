@@ -166,27 +166,21 @@ class VoFOD:
                     pass
         return self._to_msg(out.detections, stamp)
 
+    _ROUTINE_BY_STAGE = {
+        "cnc": ProfilingInfo.ROUTINE_CNC,
+        "raycasting": ProfilingInfo.ROUTINE_RAYCASTING,
+        "sepbgclusters": ProfilingInfo.ROUTINE_SEPBGCLUSTERS,
+    }
+
     def _emit_staged(self, scan):
-        """Drive the StagedStep stage-by-stage, bracketing each dispatch with
-        its routine's START/END events (truthful stamps AND durations)."""
-        s = self._step
-        state, dyn = self.state, self.dyn
-        with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
-            fe, bg, cls, dets, det_counter = jax.block_until_ready(
-                s._cnc(state, scan, dyn)
-            )
-        with self.profiling.routine(ProfilingInfo.ROUTINE_RAYCASTING):
-            vals = jax.block_until_ready(
-                s._ray(scan, dyn, state.step, cls.grid, bg.occupied,
-                       fe.blockers)
-            )
-        with self.profiling.routine(ProfilingInfo.ROUTINE_SEPBGCLUSTERS):
-            vals, safe, sure_bg, sep_conv = jax.block_until_ready(
-                s._sep(dyn, state.step, vals, state.safe,
-                       state.sure_bg_sufficient)
-            )
-        return s._assemble(
-            state, bg, cls, dets, det_counter, vals, safe, sure_bg, sep_conv
+        """Drive the StagedStep, bracketing each stage dispatch with its
+        routine's START/END events (truthful stamps AND durations) via the
+        stage_ctx hook — one pipeline drive, no duplicated stage logic."""
+        return self._step(
+            self.state, scan, self.dyn,
+            stage_ctx=lambda name: self.profiling.routine(
+                self._ROUTINE_BY_STAGE[name]
+            ),
         )
 
     def _log_throttled(self):

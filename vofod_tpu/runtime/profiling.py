@@ -42,6 +42,11 @@ class ScopeTimer:
 class ProfilingStream:
     """START/END event records with per-routine sequence numbers."""
 
+    def set_publisher(self, publish: Callable[[ProfilingInfo], None]) -> None:
+        """Attach/replace the event sink after construction (e.g. the ROS
+        adapter wiring ~profiling_info once rospy publishers exist)."""
+        self._publish = publish
+
     def __init__(self, publish: Callable[[ProfilingInfo], None] | None = None):
         self._seq: dict[int, int] = {}
         self._publish = publish

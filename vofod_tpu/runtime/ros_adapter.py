@@ -156,8 +156,10 @@ class RosNode:
         self._pub_air_pc = rospy.Publisher("~sure_air_pc", PointCloud2,
                                            queue_size=1)
         # wire the detector's profiling stream straight to the topic
-        self.det.profiling._publish = lambda evt: self._pub_prof.publish(
-            String(data=profiling_event_to_json(evt))
+        self.det.profiling.set_publisher(
+            lambda evt: self._pub_prof.publish(
+                String(data=profiling_event_to_json(evt))
+            )
         )
         # 10 Hz status/markers loop (ref main_loop, vofod_nodelet.cpp:1331-1386)
         self._timer = rospy.Timer(
