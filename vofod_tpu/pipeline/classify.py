@@ -81,12 +81,25 @@ def classify(
     flabels = jnp.where(fvalid, ops.lookup(labels, fids), SENTINEL)
 
     # --- distinct component labels into K slots (ascending) -----------------
-    def next_rep(prev, _):
-        cand = jnp.where(fvalid & (flabels > prev), flabels, SENTINEL)
-        rep = jnp.min(cand)
-        return rep, rep
-
-    _, reps = jax.lax.scan(next_rep, jnp.int32(-1), None, length=K)
+    # rank-based (one [F, F] compare pass + a K-element scatter-min) instead
+    # of a K-step sequential min-above-previous scan: the scan's K tiny
+    # dispatches measured ~0.25 ms at K=32 on v5e.  reps[r] = the distinct
+    # label with exactly r smaller distinct labels — identical output.
+    lab = jnp.where(fvalid, flabels, SENTINEL)
+    idx_f = jnp.arange(F)
+    seen_before = jnp.any(
+        (lab[None, :] == lab[:, None]) & (idx_f[None, :] < idx_f[:, None]),
+        axis=1,
+    )
+    is_rep = fvalid & ~seen_before  # first occurrence of each distinct label
+    rank = jnp.sum(
+        is_rep[None, :] & (lab[None, :] < lab[:, None]), axis=1
+    )  # #distinct labels smaller than mine
+    reps = (
+        jnp.full((K,), SENTINEL, jnp.int32)
+        .at[jnp.where(is_rep & (rank < K), rank, K)]
+        .min(lab, mode="drop")
+    )
     slot_valid = reps < SENTINEL  # [K]
     slot = fvalid[:, None] & (flabels[:, None] == reps[None, :])  # [F, K]
     slot_f = slot.astype(jnp.float32)
