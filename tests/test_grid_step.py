@@ -98,6 +98,86 @@ class TestShardedPrimitives:
         for g, w in zip(got, want):
             np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
 
+    @pytest.mark.parametrize("r", [1, 2, 5, 8])
+    def test_halo_fold_min_cross_shard(self, mesh, r):
+        """Min-writes stamped into halo copies must fold back onto the owner
+        from BOTH directions, for every hop count and for overlapping
+        head/tail ranges (r >= shard_height/2 — the regime where the round-2
+        ``.set()`` fold silently dropped the next-shard contribution).
+
+        Every shard stamps value 50-i over its whole halo-extended view, so
+        the oracle at global row z is min(orig, 50 - max{i : shard i sees z})
+        — the winning stamp always comes from the next-side direction."""
+        nz, ny, nx = 32, 4, 4
+        n = 8
+        nzl = nz // n
+        g = (
+            jnp.arange(nz * ny * nx, dtype=jnp.float32).reshape(nz, ny, nx)
+            + 100.0
+        )
+        ops = ZShardOps("grid", n)
+
+        def body(local):
+            ext = ops.halo_exchange(local, r, jnp.float32(jnp.inf))
+            idx = jax.lax.axis_index("grid")
+            ext = jnp.minimum(ext, 50.0 - idx.astype(jnp.float32))
+            return ops.halo_fold_min(ext, r)
+
+        got = shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(P("grid", None, None),),
+            out_specs=P("grid", None, None),
+            check_vma=False,
+        )(g)
+
+        want = np.asarray(g).copy()
+        for i in range(n):
+            z0 = i * nzl
+            lo, hi = max(0, z0 - r), min(nz, z0 + nzl + r)
+            want[lo:hi] = np.minimum(want[lo:hi], 50.0 - i)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_demote_spans_shard_boundaries(self, rng, mesh):
+        """ZShardOps.demote vs DenseOps.demote when the demotion submap
+        (S=16, halo 8 > shard height 4) covers rows owned by shards up to
+        two hops away on BOTH sides of the query's owner — the fold path the
+        round-2 full-step test never reached (its reached-set degenerated to
+        the query voxel)."""
+        from vofod_tpu.parallel.gridops import DENSE
+
+        nz, ny, nx = 32, 16, 16
+        S, pad = 16, 8
+        vals = jnp.asarray(
+            rng.uniform(0.5, 1.5, (nz, ny, nx)).astype(np.float32)
+        )
+        # three queries: two demoting with z-spans crossing 4-5 shards,
+        # one non-demoting (its patch must be a no-op)
+        q = np.array([[8, 7, 20], [7, 9, 6], [8, 8, 27]], np.int32)  # x,y,z
+        corners = jnp.asarray(
+            np.stack([q[:, 2] - pad, q[:, 1] - pad, q[:, 0] - pad], 1)
+        )
+        reached = jnp.asarray(rng.random((3, S, S, S)) < 0.3)
+        demote = jnp.asarray([True, True, False])
+        thr = jnp.float32(0.25)
+
+        want = DENSE.demote(vals, reached, corners, demote, thr)
+
+        ops = ZShardOps("grid", 8)
+        got = shard_map(
+            lambda v: ops.demote(v, reached, corners, demote, thr),
+            mesh=mesh,
+            in_specs=(P("grid", None, None),),
+            out_specs=P("grid", None, None),
+            check_vma=False,
+        )(vals)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # sanity: the demotions really did land outside the owners' shards
+        diff_rows = np.unique(
+            np.nonzero(np.asarray(got) != np.asarray(vals))[0] // 4
+        )
+        assert len(diff_rows) >= 4
+
     def test_compact_overflow_prefix(self, rng, mesh):
         """When total > capacity the merged list must equal the global first-
         capacity ids (each shard's contribution to any global prefix is a

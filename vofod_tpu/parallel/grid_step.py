@@ -3,8 +3,14 @@
 The stream-DP path (parallel/sharding.py) scales the number of independent
 sensor feeds; THIS module scales a single feed's operation area beyond one
 chip's HBM, the axis SURVEY.md §5 names for giant maps (the reference caps
-its VoxelMap at one machine's RAM; its 2.47M-voxel sim workload uses ~10 MB,
-but a 0.25 m voxel over a km² oparea is ~80 GB — multi-chip or nothing).
+its VoxelMap at one machine's RAM; its 2.47M-voxel sim workload uses ~10 MB;
+a 0.5 m voxel over a 500 m × 500 m × 250 m oparea is ~2 GB of f32 state —
+already several chips' worth once the pipeline's working set (halos, pools,
+label keys, sweep carries) multiplies it).  Flat voxel ids and label keys
+are int32 with a seed-flag offset of n_voxels, so the supported ceiling is
+n_voxels ≤ 2^30 (~4 GB of f32 grid per array) — validated with a clear
+error in :func:`make_grid_sharded_step`; beyond that the id math would need
+int64 throughout.
 
 Design: the confidence grid and the sepclusters warm-start mask shard along
 Z (the leading, non-lane grid axis — shards keep full (8, 128) sublane/lane
@@ -110,6 +116,15 @@ def make_grid_sharded_step(
         )
     if nz // n < 2:
         raise ValueError(f"shard height {nz // n} < 2 planes (nz={nz}, n={n})")
+    nv = cfg.grid_shape[0] * cfg.grid_shape[1] * cfg.grid_shape[2]
+    if nv > 2**30:
+        # label_seeded keys use flat_id + (1-seed)*n_voxels in int32, so
+        # 2*n_voxels must stay below 2^31 — larger grids would silently
+        # overflow ids/labels rather than fail.
+        raise ValueError(
+            f"n_voxels={nv} exceeds the int32 id/key ceiling of 2^30 "
+            "(~4 GB f32 grid); shrink the oparea or coarsen the voxel size"
+        )
     if cfg.sepclusters_exact_census:
         raise NotImplementedError(
             "sepclusters_exact_census is not supported with the grid-sharded "

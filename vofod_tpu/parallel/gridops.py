@@ -232,10 +232,13 @@ class ZShardOps:
             big = jnp.full_like(from_next, jnp.inf)
             from_next = jnp.where(idx <= n - 1 - h, from_next, big)
             from_prev = jnp.where(idx >= h, from_prev, big)
-            tail = jnp.minimum(interior[nzl - take :], from_next)
-            head = jnp.minimum(interior[:take], from_prev)
-            interior = interior.at[nzl - take :].set(tail)
-            interior = interior.at[:take].set(head)
+            # min-updates, NOT .set(): when 2*take > nzl (halo radius >=
+            # shard_height/2, the multi-hop regime) the head/tail row ranges
+            # overlap, and a .set() of one would drop the other's min
+            # contribution.  min is commutative/idempotent, so the fold is
+            # order-independent.
+            interior = interior.at[nzl - take :].min(from_next)
+            interior = interior.at[:take].min(from_prev)
             off += take
         return interior
 
