@@ -153,6 +153,10 @@ class VoFODConfig:
     # reference's rangefinder validity check uses && where || was intended
     # (vofod_nodelet.cpp:585); spec-correct behavior is the default
     compat_rangefinder_validity: bool = False
+    # reference hasCloseTo searches [idx-ceil(r), idx+ceil(r)) — EXCLUSIVE
+    # upper bound, dropping the +ceil(r) layer per axis at exactly-integer
+    # radii (voxel_map.cpp:383-388); spec-correct symmetric ball is default
+    compat_hascloseto_bounds: bool = False
 
     # ------------------------------------------------------------------------
     @property

@@ -162,6 +162,28 @@ def ball_pool_min_naive(a: Array, radius: float, fill=None) -> Array:
     return out
 
 
+def hascloseto_pool_any(mask: Array, radius: float) -> Array:
+    """Reference-exact hasCloseTo evaluated for every voxel at once
+    (voxel_map.cpp:376-400): True where some ``mask`` voxel lies within
+    euclidean index distance ``radius`` inside the search box
+    ``[idx - ceil(r), idx + ceil(r))`` — note the EXCLUSIVE upper bound: the
+    +ceil(r) layer per axis is never searched, so at exactly-integer radii
+    the positive axis-extreme offsets are (bug-for-bug) missing.  Compat path
+    only (``cfg.compat_hascloseto_bounds``); the symmetric :func:`ball_pool_max`
+    is the spec-correct production query."""
+    mvd = int(math.ceil(radius))
+    r2 = radius * radius + 1e-9
+    out = None
+    for dz in range(-mvd, mvd):
+        for dy in range(-mvd, mvd):
+            for dx in range(-mvd, mvd):
+                if dz * dz + dy * dy + dx * dx > r2:
+                    continue
+                s = shift3(mask, dz, dy, dx, False)
+                out = s if out is None else (out | s)
+    return out
+
+
 def is_floating(grid_vals: Array, threshold) -> Array:
     """Per-voxel 26-neighborhood emptiness: True where no voxel in the 3x3x3
     neighborhood (self included) exceeds ``threshold``; always False on the

@@ -111,7 +111,9 @@ def raycast_dda(
         at_edge = jnp.sum(onehot * (cur == last), axis=-1) > 0
         alive = alive & (dist < lengths) & ~at_edge
         cur = cur + onehot * step
-        tmax = tmax + onehot.astype(tmax.dtype) * tdelta
+        # select, don't multiply: tdelta is inf on zero-direction axes and
+        # 0 * inf = NaN would poison exactly-axis-aligned rays
+        tmax = jnp.where(onehot > 0, tmax + tdelta, tmax)
         return (cur, tmax, dist, alive), (fid, emit_w)
 
     alive0 = valid & (lengths > 0)

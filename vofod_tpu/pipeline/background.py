@@ -42,18 +42,36 @@ class BackgroundOut(NamedTuple):
 
 def split_and_update(
     cfg: VoFODConfig, dyn: DynParams, grid_vals: Array, counts: Array,
+    prev_bg_sufficient: Array | bool = False,
     ops=DENSE,
 ) -> BackgroundOut:
     radius = cfg.ground_points_max_distance / cfg.voxel_size
 
     # --- background sufficiency (pre-update map, like the reference) --------
+    # STICKY like the reference's m_background_pts_sufficient: set once when
+    # the count crosses the threshold (ref :718-720), cleared only by reset
+    # (ref :284) — a later raycast-driven dip below the threshold does not
+    # deactivate classification.
     bg_mask = grid_vals > dyn.thr_new_obstacles
     n_bg = ops.gsum(bg_mask).astype(jnp.int32)
-    bg_sufficient = n_bg > cfg.background_min_sufficient_pts
+    bg_sufficient = jnp.asarray(prev_bg_sufficient) | (
+        n_bg > cfg.background_min_sufficient_pts
+    )
 
     # --- close/far split + component labels (one propagation) ---------------
     occupied = counts > 0
-    bg_near = ops.pool_max(bg_mask.astype(jnp.int8), radius, fill=0) > 0
+    if cfg.compat_hascloseto_bounds:
+        # ref hasCloseTo (voxel_map.cpp:376-400) searches the index box
+        # [idx - ceil(r), idx + ceil(r)) — EXCLUSIVE upper bound, so the
+        # +ceil(r) layer on each axis is never examined.  At exactly-integer
+        # radii (the shipped config: 1.5 m / 0.5 m = 3.0) this drops the
+        # three positive axis-extreme offsets.  Bug-for-bug reproduction for
+        # parity studies; the spec-correct default uses the symmetric ball.
+        from vofod_tpu.ops.morphology import hascloseto_pool_any
+
+        bg_near = hascloseto_pool_any(bg_mask, radius)
+    else:
+        bg_near = ops.pool_max(bg_mask.astype(jnp.int8), radius, fill=0) > 0
     seed = occupied & bg_near
     labels, close, cc_converged, cc_iters = ops.label_seeded(
         occupied, seed, radius, cfg.cc_sweeps

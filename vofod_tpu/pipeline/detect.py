@@ -62,11 +62,12 @@ def extract_detections(
 
     sub_vals, sub_far, sub_lab = ops.submaps3(grid_vals, far, labels, ctr_i, CS)
 
-    r = jnp.arange(CS, dtype=jnp.int32) - half
+    r = jnp.arange(CS, dtype=jnp.int32)
 
     def one_cluster(k, vals, fmask, lab):
         cx, cy, cz = ctr_i[k, 0], ctr_i[k, 1], ctr_i[k, 2]
-        # absolute indices of window voxels
+        # absolute indices of window voxels: array position a holds grid
+        # index ctr - half + a (submaps3 slices [ctr-half, ctr+half))
         zz = jnp.broadcast_to((cz - half + r)[:, None, None], (CS, CS, CS))
         yy = jnp.broadcast_to((cy - half + r)[None, :, None], (CS, CS, CS))
         xx = jnp.broadcast_to((cx - half + r)[None, None, :], (CS, CS, CS))

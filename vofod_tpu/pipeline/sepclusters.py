@@ -73,6 +73,7 @@ def run_sepclusters(
     its_diff: Array,
     max_iters: int = 8,
     ops=DENSE,
+    prev_sure: Array | bool = False,
 ) -> SepClustersOut:
     if cfg.sepclusters_exact_census:
         if ops.is_sharded:
@@ -81,7 +82,9 @@ def run_sepclusters(
                 "sharded step (use the default local-density mode, or run "
                 "the exact census unsharded for parity studies)"
             )
-        return run_sepclusters_exact(cfg, dyn, grid_vals, prev_safe, its_diff)
+        return run_sepclusters_exact(
+            cfg, dyn, grid_vals, prev_safe, its_diff, prev_sure=prev_sure
+        )
     max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
     adj_radius = math.ceil(max_dist_idx)  # cluster tolerance in index units
 
@@ -91,7 +94,11 @@ def run_sepclusters(
     # local sure-voxel counts stand in for per-cluster counts (see docstring)
     local_sure = ops.pool_sum(sure.astype(jnp.int32), float(adj_radius) + 1.0)
     seeds = sure & (local_sure.astype(jnp.float32) >= dyn.sepclusters_min_sure_points)
-    sure_sufficient = ops.gany(seeds)
+    # empty background: the reference returns before touching
+    # m_sure_background_sufficient (:1155-1159) — keep the previous value
+    sure_sufficient = jnp.where(
+        ops.gany(bg), ops.gany(seeds), jnp.asarray(prev_sure)
+    )
 
     init = (prev_safe & bg) | (seeds & bg)
     safe, converged = ops.propagate_reach(
@@ -202,6 +209,7 @@ def run_sepclusters_exact(
     prev_safe: Array,
     its_diff: Array,
     max_label_iters: int = 128,
+    prev_sure: Array | bool = False,
 ) -> SepClustersOut:
     """Reference-exact separated-background maintenance (see module
     docstring).  Opt-in via ``cfg.sepclusters_exact_census``; the label
@@ -242,7 +250,11 @@ def run_sepclusters_exact(
 
     min_sure = dyn.sepclusters_min_sure_points
     sure_cluster_c = occ_c & (cell_census.astype(jnp.float32) >= min_sure)
-    sure_sufficient = jnp.any(sure_cluster_c)
+    # empty background: the reference returns before touching
+    # m_sure_background_sufficient (:1155-1159) — keep the previous value
+    sure_sufficient = jnp.where(
+        jnp.any(occ_c), jnp.any(sure_cluster_c), jnp.asarray(prev_sure)
+    )
     unsure_c = occ_c & ~sure_cluster_c
 
     # demotion ball around each unsure coarse cell CENTER (ref :1219-1260).

@@ -192,7 +192,9 @@ def _make_step_fn(
         )
 
         # 2-3. split + point update
-        bg = split_and_update(cfg, dyn, state.grid, fe.counts, ops=ops)
+        bg = split_and_update(
+            cfg, dyn, state.grid, fe.counts, state.bg_sufficient, ops=ops
+        )
 
         # 4. classification (+ frontier demotions)
         cls = classify(
@@ -300,7 +302,7 @@ def _make_step_fn(
             vals, safe = args
             out = run_sepclusters(
                 cfg, dyn, vals, safe, jnp.float32(cfg.sepclusters_every),
-                ops=ops,
+                ops=ops, prev_sure=sure_bg_prev,
             )
             return out.grid, out.safe, out.sure_bg_sufficient, out.converged
 
