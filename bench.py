@@ -26,10 +26,13 @@ def main():
     import jax.numpy as jnp
 
     from vofod_tpu.config import DynParams, VoFODConfig
+    from vofod_tpu.io.binner import HostBinner
     from vofod_tpu.io.scan_source import Scene, hover_pose, render_scan
-    from vofod_tpu.pipeline.state import ScanInput, init_state
+    from vofod_tpu.pipeline.state import PrebinnedScan, ScanInput, init_state
     from vofod_tpu.pipeline.step import make_step_fn
     from vofod_tpu.sensor import make_lut
+
+    raw_mode = "--raw" in sys.argv  # legacy on-device-binning path
 
     # sepclusters_every=10: the reference runs separated-background
     # maintenance on a FIXED 10 Hz thread regardless of scan rate
@@ -41,7 +44,10 @@ def main():
     cfg = VoFODConfig(sepclusters_every=10)
     dyn = DynParams().as_arrays()
     lut = make_lut(cfg.sensor)
-    step = make_step_fn(cfg, lut, raycast_mode="sweep", donate=True)
+    step = make_step_fn(
+        cfg, lut, raycast_mode="sweep", donate=True,
+        frontend_mode="raw" if raw_mode else "prebinned",
+    )
 
     # scene: ground + a structure + a target ORBITING while the sensor flies
     # its own arc — every scan in the cycle has different content and pose,
@@ -63,13 +69,40 @@ def main():
         )
         poses.append(p)
         r = render_scan(scene, lut, p)
-        scans.append(
+        scans.append((r, p))
+
+    # production ingest: the host bins each scan (native/frontend.cpp) and
+    # the short unique-voxel list rides the upload — measure the host half
+    # so the pipelined serving claim (host overlaps device) stays honest
+    host_bin_ms = None
+    if raw_mode:
+        scans = [
             ScanInput(
                 ranges_mm=jnp.asarray(r.astype(np.float32)),
                 intensity=jnp.ones(r.size, jnp.float32),
                 pose=jnp.asarray(p),
             )
-        )
+            for r, p in scans
+        ]
+    else:
+        hb = HostBinner(cfg, lut)
+        assert hb.native, "native binner required (cd native && make)"
+        t0 = time.perf_counter()
+        binned = [hb.bin(r, p) for r, p in scans] + [
+            hb.bin(r, p) for r, p in scans
+        ]
+        host_bin_ms = (time.perf_counter() - t0) / len(binned) * 1e3
+        scans = [
+            PrebinnedScan(
+                packed=jnp.asarray(b.packed),
+                active=jnp.asarray(b.active),
+                pose=jnp.asarray(b.pose),
+                stats=jnp.asarray(
+                    np.array([b.n_valid_points, b.n_exclude_hits], np.int32)
+                ),
+            )
+            for b in binned[: len(poses)]
+        ]
 
     state = init_state(cfg)
     # apriori ground plane over the scanned area — deployments bootstrap the
@@ -110,16 +143,17 @@ def main():
 
     scans_per_sec = n_iter / best
     baseline = 10.0  # reference real-time requirement (BASELINE.md)
-    print(
-        json.dumps(
-            {
-                "metric": "os128_scans_per_sec_single_chip",
-                "value": round(scans_per_sec, 2),
-                "unit": "scans/s",
-                "vs_baseline": round(scans_per_sec / baseline, 2),
-            }
-        )
-    )
+    out = {
+        "metric": "os128_scans_per_sec_single_chip",
+        "value": round(scans_per_sec, 2),
+        "unit": "scans/s",
+        "vs_baseline": round(scans_per_sec / baseline, 2),
+    }
+    if host_bin_ms is not None:
+        # host binning overlaps the device step in the stream runner; it
+        # bounds throughput only if slower than the device step
+        out["host_bin_ms_per_scan"] = round(host_bin_ms, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -262,6 +262,70 @@ class TestGridShardedStep:
         # and the state really is sharded over all 8 devices
         assert len(sh_state.grid.sharding.device_set) == 8
 
+    def test_prebinned_bitexact_vs_unsharded(self, mesh):
+        """The prebinned ingest path under the grid-sharded step: the packed
+        host-binned grid shards along Z; results must match the unsharded
+        prebinned step bit-for-bit."""
+        from jax.sharding import NamedSharding
+
+        from vofod_tpu.io.binner import HostBinner
+        from vofod_tpu.pipeline.state import PrebinnedScan
+
+        cfg = sharded_config()
+        dyn = DynParams(raycast_weight_coefficient=0.5)
+        lut = make_lut(cfg.sensor)
+        hb = HostBinner(cfg, lut)
+        pose = hover_pose((0.0, 0.0, 6.0))
+        ground = Scene(ground_z=0.5)
+        target = Scene(ground_z=0.5)
+        target.add_sphere(center=(4.0, 0.0, 9.0), radius=0.7)
+        scenes = [ground] * 3 + [target] * 2
+
+        ref_step = make_step_fn(
+            cfg, lut, donate=False, frontend_mode="prebinned"
+        )
+        ref_state = init_state(cfg, dyn)
+        ref_state = ref_state._replace(grid=ref_state.grid.at[1].set(0.0))
+        sh_step = make_grid_sharded_step(
+            cfg, lut, mesh, frontend_mode="prebinned"
+        )
+        sh_state = shard_state(ref_state, mesh)
+        pspec = NamedSharding(mesh, P("grid", None, None))
+
+        for i, scene in enumerate(scenes):
+            b = hb.bin(render_scan(scene, lut, pose), pose)
+            stats = jnp.asarray(
+                np.array([b.n_valid_points, b.n_exclude_hits], np.int32)
+            )
+            scan = PrebinnedScan(
+                packed=jnp.asarray(b.packed), active=jnp.asarray(b.active),
+                pose=jnp.asarray(pose), stats=stats,
+            )
+            sh_scan = scan._replace(
+                packed=jax.device_put(scan.packed, pspec)
+            )
+            ref_state, ref_out = ref_step(ref_state, scan, dyn.as_arrays())
+            sh_state, sh_out = sh_step(sh_state, sh_scan, dyn.as_arrays())
+            np.testing.assert_array_equal(
+                np.asarray(sh_state.grid), np.asarray(ref_state.grid),
+                err_msg=f"scan {i}: grid diverged",
+            )
+            for name in ref_out.detections._fields:
+                a = np.asarray(getattr(sh_out.detections, name))
+                b2 = np.asarray(getattr(ref_out.detections, name))
+                if a.dtype.kind == "f":
+                    # sharded/unsharded programs fuse differently; float
+                    # outputs may differ in the last ulp
+                    np.testing.assert_allclose(
+                        a, b2, rtol=1e-5, atol=1e-7,
+                        err_msg=f"scan {i}: detections.{name}",
+                    )
+                else:
+                    np.testing.assert_array_equal(
+                        a, b2, err_msg=f"scan {i}: detections.{name}"
+                    )
+        assert int(jnp.sum(ref_out.detections.valid)) >= 1
+
     def test_indivisible_nz_raises(self, mesh):
         cfg = sharded_config(oparea=Box((0.0, 0.0, 7.5), (16.0, 16.0, 15.0)))
         lut = make_lut(cfg.sensor)

@@ -137,10 +137,20 @@ def make_grid_sharded_step(
         cfg, lut, donate=False, jit=False, ops=ops, **step_kw
     )
     sspec = _state_specs(axis)
+    if step_kw.get("frontend_mode") == "prebinned":
+        # the packed host-binned count grid shards along Z with the state;
+        # active mask / pose / stats are replicated (pipeline/state.py)
+        from vofod_tpu.pipeline.state import PrebinnedScan
+
+        scan_spec = PrebinnedScan(
+            packed=P(axis, None, None), active=P(), pose=P(), stats=P()
+        )
+    else:
+        scan_spec = P()
     sharded = shard_map(
         step,
         mesh=mesh,
-        in_specs=(sspec, P(), P()),
+        in_specs=(sspec, scan_spec, P()),
         out_specs=(sspec, P()),
         # replicated-output inference would have to see through psum-carried
         # while loops; outputs are replicated by construction (psum/pmax)

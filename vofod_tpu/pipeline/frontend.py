@@ -81,3 +81,30 @@ def run_frontend(
         n_valid_points=valid.sum().astype(jnp.int32),
         n_exclude_hits=etotal,
     )
+
+
+def run_frontend_prebinned(
+    cfg: VoFODConfig,
+    grid: GridSpec,
+    scan,  # PrebinnedScan (pipeline/state.py)
+    ops=DENSE,
+) -> FrontendOut:
+    """Device half of the prebinned ingest path (io/binner.py +
+    native/frontend.cpp): the host already filtered, transformed and
+    histogrammed the scan into a packed dense uint8 grid, so binning
+    collapses to a pure elementwise unpack — the 131k-point histogram
+    scatter (~1.5 ms serialized on v5e, the step's single most expensive op)
+    disappears from the device entirely.
+
+    Bit-equivalent to :func:`run_frontend`: the 6-bit count clamp matches
+    the EMA's own clamp-at-63 (pipeline/background.py), and the blocker bit
+    covers own-airframe hits without the raw path's compaction cap.  Works
+    unchanged under the grid-sharded step — ``packed`` arrives as the local
+    Z-shard and the unpack is elementwise."""
+    counts = (scan.packed & 0x3F).astype(jnp.int32)
+    return FrontendOut(
+        counts=counts,
+        blockers=scan.packed >= 0x80,
+        n_valid_points=scan.stats[0],
+        n_exclude_hits=scan.stats[1],
+    )

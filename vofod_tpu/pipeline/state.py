@@ -52,6 +52,20 @@ class ScanInput(NamedTuple):
     pose: Array  # float32 [4, 4] — world_T_sensor
 
 
+class PrebinnedScan(NamedTuple):
+    """Host-binned scan for the prebinned ingest path (io/binner.py +
+    native/frontend.cpp): the filter+transform+histogram half of the frontend
+    runs on the host and the packed dense count grid rides the upload, so the
+    device-side binning is a pure elementwise unpack — no scatter at all
+    (pipeline/frontend.run_frontend_prebinned;
+    make_step_fn(frontend_mode="prebinned"))."""
+
+    packed: Array  # uint8 (nz, ny, nx): count & 0x3f | blocker_bit << 7
+    active: Array  # uint8/bool [H*W] per-pixel raycast gate mask
+    pose: Array  # float32 [4, 4] — world_T_sensor
+    stats: Array  # int32 [2]: (n_valid_points, n_exclude_hits), host-counted
+
+
 class Detections(NamedTuple):
     """Fixed-capacity detections output (msgs/Detection.msg fields)."""
 

@@ -36,7 +36,7 @@ from vofod_tpu.parallel.gridops import DENSE
 from vofod_tpu.pipeline.background import split_and_update
 from vofod_tpu.pipeline.classify import classify
 from vofod_tpu.pipeline.detect import extract_detections
-from vofod_tpu.pipeline.frontend import run_frontend
+from vofod_tpu.pipeline.frontend import run_frontend, run_frontend_prebinned
 from vofod_tpu.pipeline.sepclusters import run_sepclusters
 from vofod_tpu.pipeline.state import (
     Detections,
@@ -96,6 +96,7 @@ def make_step_fn(
     mask=None,
     raycast_gate: bool = True,
     ops=DENSE,
+    frontend_mode: str = "raw",
 ) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
     """Build (or fetch from the process-level cache) the jitted step.
 
@@ -113,6 +114,7 @@ def make_step_fn(
         donate,
         jit,
         raycast_gate,
+        frontend_mode,
         ops.cache_key,
         hashlib.sha1(lut.directions.tobytes() + lut.offsets.tobytes()).hexdigest(),
         hashlib.sha1(
@@ -125,6 +127,7 @@ def make_step_fn(
     fn = _make_step_fn(
         cfg, lut, raycast_mode=raycast_mode, raycast_every=raycast_every,
         donate=donate, jit=jit, mask=mask, raycast_gate=raycast_gate, ops=ops,
+        frontend_mode=frontend_mode,
     )
     _STEP_CACHE[key] = fn
     return fn
@@ -141,6 +144,7 @@ def _make_step_fn(
     mask=None,
     raycast_gate: bool = True,
     ops=DENSE,
+    frontend_mode: str = "raw",
     _return_stages: bool = False,
 ) -> Callable[[VoFODState, ScanInput, DynParams], tuple[VoFODState, StepOutput]]:
     """Build the jitted step function.
@@ -148,6 +152,11 @@ def _make_step_fn(
     raycast_mode: "sweep" (TPU-native transmittance sweep, production),
       "exact" (per-ray DDA + scatter; bit-faithful, slow on TPU), or
       "off".
+    frontend_mode: "raw" (the step takes ScanInput and bins on device) or
+      "prebinned" (the step takes PrebinnedScan from io/binner.py — the host
+      already filtered+binned the scan; the production serving path).  The
+      exact DDA needs per-pixel ranges, so "prebinned" pairs with the sweep
+      raycast only.
     ops: dense-grid op provider (parallel/gridops.py).  The default DENSE
       runs single-device; ZShardOps runs the identical stage code with the
       grid Z-sharded inside shard_map (built by
@@ -165,6 +174,13 @@ def _make_step_fn(
     if ops.is_sharded and raycast_mode == "exact":
         raise NotImplementedError(
             "exact DDA raycast is not supported with the grid-sharded step"
+        )
+    if frontend_mode not in ("raw", "prebinned"):
+        raise ValueError(f"unknown frontend_mode {frontend_mode!r}")
+    if frontend_mode == "prebinned" and raycast_mode == "exact":
+        raise NotImplementedError(
+            "the exact DDA needs per-pixel ranges; prebinned ingest pairs "
+            "with the sweep raycast (make_step_fn docstring)"
         )
     grid = GridSpec.from_config(cfg)
     lut_dirs = jnp.asarray(lut.directions)
@@ -187,9 +203,12 @@ def _make_step_fn(
         sensor_pos = pose[:3, 3]
 
         # 1. frontend
-        fe = run_frontend(
-            cfg, grid, lut_dirs, lut_offs, scan.ranges_mm, pose, ops=ops
-        )
+        if frontend_mode == "prebinned":
+            fe = run_frontend_prebinned(cfg, grid, scan, ops=ops)
+        else:
+            fe = run_frontend(
+                cfg, grid, lut_dirs, lut_offs, scan.ranges_mm, pose, ops=ops
+            )
 
         # 2-3. split + point update
         bg = split_and_update(
@@ -256,10 +275,18 @@ def _make_step_fn(
             else:
                 faces = None
                 if gate_spec is not None:
-                    r = scan.ranges_mm.astype(jnp.float32) * RANGE_TO_METERS
-                    active = (
-                        scan.intensity >= dyn.raycast_min_intensity
-                    ) & (mask_dev | (r > 0))  # ref :1449-1450
+                    if frontend_mode == "prebinned":
+                        # the host binner evaluated the per-pixel gate
+                        # (ref :1449-1450) — see io/binner.py
+                        active = scan.active > 0
+                    else:
+                        r = (
+                            scan.ranges_mm.astype(jnp.float32)
+                            * RANGE_TO_METERS
+                        )
+                        active = (
+                            scan.intensity >= dyn.raycast_min_intensity
+                        ) & (mask_dev | (r > 0))  # ref :1449-1450
                     faces = gate_faces(
                         gate_spec,
                         active.reshape(
