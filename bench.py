@@ -33,6 +33,11 @@ def main():
     from vofod_tpu.sensor import make_lut
 
     raw_mode = "--raw" in sys.argv  # legacy on-device-binning path
+    n_streams = (
+        int(sys.argv[sys.argv.index("--streams") + 1])
+        if "--streams" in sys.argv
+        else 0
+    )  # >0: N independent streams on this chip via the stream-DP scan path
 
     # sepclusters_every=10: the reference runs separated-background
     # maintenance on a FIXED 10 Hz thread regardless of scan rate
@@ -120,6 +125,51 @@ def main():
     vals = np.array(jax.device_get(state.grid))
     vals[ixs[:, 2], ixs[:, 1], ixs[:, 0]] = np.inf
     state = state._replace(grid=jnp.asarray(vals))
+
+    if n_streams:
+        # stream-DP serving measurement on ONE chip: shard_map over a
+        # 1-device mesh, lax.scan over the N local streams — the multi-chip
+        # serving path's per-chip program, measured for real (each stream
+        # carries its own state; stream i sees scan (k + i) % cycle so no
+        # two streams process identical content in a step)
+        from vofod_tpu.parallel.sharding import make_batched_step, make_mesh
+
+        mesh = make_mesh(1)
+        bstep = make_batched_step(
+            cfg, lut, mesh,
+            frontend_mode="raw" if raw_mode else "prebinned",
+        )
+        bstate = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n_streams,) + x.shape), state
+        )
+        bscans = [
+            jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[scans[(k + i) % len(scans)] for i in range(n_streams)],
+            )
+            for k in range(len(scans))
+        ]
+        for i in range(24):
+            bstate, out = bstep(bstate, bscans[i % len(bscans)], dyn)
+        jax.block_until_ready(bstate)
+        n_iter, n_rounds = 48, 4
+        best = float("inf")
+        for _ in range(n_rounds):
+            t0 = time.perf_counter()
+            for i in range(n_iter):
+                bstate, out = bstep(bstate, bscans[i % len(bscans)], dyn)
+            _ = float(jax.device_get(bstate.grid[0, 0, 0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        total = n_iter * n_streams / best
+        out = {
+            "metric": f"os128_scans_per_sec_{n_streams}streams_single_chip",
+            "value": round(total, 2),
+            "unit": "scans/s",
+            "vs_baseline": round(total / 10.0, 2),
+            "per_stream": round(total / n_streams, 2),
+        }
+        print(json.dumps(out))
+        return
 
     # warm-up: compile + reach steady state (background converged)
     for i in range(24):

@@ -92,9 +92,20 @@ class VoFODConfig:
 
     ground_points_max_distance: float = 1.5
     background_sufficient_points_ratio: float = 0.15
-    # geometry-affecting: shapes the sepclusters adjacency/demotion stencils,
-    # so unlike the reference's dynamic_reconfigure it is static here
+    # geometry-affecting: shapes the sepclusters adjacency/demotion stencils
     sepclusters_max_bg_distance: float = 0.8
+    # live tuning of the two stencil radii above (the reference exposes both
+    # via dynamic_reconfigure, DetectionParams.cfg:16-44).  With
+    # dynamic_radii=True the stencils compile once at the *_bound radii and
+    # the DynParams fields of the same names gate the taps by a traced r²
+    # compare — both params then change between steps with NO recompilation.
+    # Cost: the traced pools run the naive tap set (~3x the clustering
+    # stage, ops/morphology._ball_pool_traced), so the static path stays the
+    # default.  Bounds <= 0 default to the static values above.  Not
+    # supported with the grid-sharded step or sepclusters_exact_census.
+    dynamic_radii: bool = False
+    ground_points_max_distance_bound: float = 0.0
+    sepclusters_max_bg_distance_bound: float = 0.0
 
     # --- static capacities of the fixed-shape TPU pipeline -----------------
     # max far (non-background) clusters tracked per scan; slots fill in
@@ -284,9 +295,13 @@ class DynParams:
     sepclusters_min_sure_points: float = 24.0
     # output
     output_position_sigma: float = 0.1
-    # ground-points distance is geometric but score-like in effect; the
-    # reference exposes it dynamically too (DetectionParams.cfg) — here it is
-    # static (affects the clustering stencil shape), see VoFODConfig.
+    # live-tunable stencil radii — TRACED ONLY when cfg.dynamic_radii is on
+    # (otherwise the static VoFODConfig fields of the same names apply and
+    # VoFOD.update_params() rejects changes to these two; the traced pools
+    # compile at the cfg *_bound radii and gate taps by r², so changing
+    # either between steps does not recompile)
+    ground_points_max_distance: float = 1.5
+    sepclusters_max_bg_distance: float = 0.8
 
     def as_arrays(self) -> "DynParams":
         """Cast every field to a 0-d float32 jnp array (bools to bool_)."""
@@ -332,6 +347,8 @@ class DynParams:
             ("sepclusters_pause", sp, "pause"),
             ("sepclusters_min_sure_points", sp, "min_sure_points"),
             ("output_position_sigma", out, "position_sigma"),
+            ("ground_points_max_distance", d, "ground_points_max_distance"),
+            ("sepclusters_max_bg_distance", sp, "max_bg_distance"),
         ]
         kw = {}
         for name, src, key in mapping:

@@ -33,7 +33,12 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from vofod_tpu.ops.morphology import ball_pool_max, ball_pool_min
+from vofod_tpu.ops.morphology import (
+    ball_pool_max,
+    ball_pool_max_traced,
+    ball_pool_min,
+    ball_pool_min_traced,
+)
 
 Array = jnp.ndarray
 
@@ -42,13 +47,18 @@ SENTINEL = jnp.int32(2**31 - 1)
 
 
 def propagate_reach(
-    occupied: Array, seed: Array, radius: float, max_iters: int
+    occupied: Array, seed: Array, radius: float, max_iters: int,
+    traced_r2=None,
 ) -> tuple[Array, Array]:
     """Grow ``seed & occupied`` through ``occupied`` under ball adjacency.
 
     Returns (reached, converged): ``reached`` is the set of occupied voxels
     whose component contains a seed; ``converged`` is False iff the iteration
     cap was hit before the fixpoint (diagnostic).
+
+    ``traced_r2``: optional TRACED squared adjacency radius — ``radius``
+    then acts as the static compile bound (cfg.dynamic_radii; see
+    ops/morphology._ball_pool_traced).
     """
     occ = occupied.astype(jnp.bool_)
     cur = occ & seed.astype(jnp.bool_)
@@ -60,7 +70,12 @@ def propagate_reach(
     def body(state):
         cur, _, it = state
         # int8: the mask is binary and the pool is HBM-bandwidth-bound
-        grown = occ & (ball_pool_max(cur.astype(jnp.int8), radius, fill=0) > 0)
+        c8 = cur.astype(jnp.int8)
+        if traced_r2 is not None:
+            pooled = ball_pool_max_traced(c8, traced_r2, radius, fill=0)
+        else:
+            pooled = ball_pool_max(c8, radius, fill=0)
+        grown = occ & (pooled > 0)
         new = cur | grown
         return new, jnp.any(new != cur), it + 1
 
@@ -71,7 +86,8 @@ def propagate_reach(
 
 
 def label_components_seeded(
-    occupied: Array, seed: Array, radius: float, max_iters: int
+    occupied: Array, seed: Array, radius: float, max_iters: int,
+    traced_r2=None,
 ) -> tuple[Array, Array, Array, Array]:
     """One propagation computing components AND seed-reachability together.
 
@@ -116,9 +132,16 @@ def label_components_seeded(
     # Waiting for min-label agreement across huge background/ring components
     # costs ~diameter/radius sweeps per scan for information nothing consumes
     # (measured: the flagship scene pins any convergence loop at its cap).
+    def pool(k):
+        # traced_r2: live-tunable adjacency radius compiled at bound
+        # ``radius`` (cfg.dynamic_radii; ops/morphology._ball_pool_traced)
+        if traced_r2 is not None:
+            return ball_pool_min_traced(k, traced_r2, radius)
+        return ball_pool_min(k, radius)
+
     def body(it, carry):
         keys, iters = carry
-        pooled = ball_pool_min(keys, radius)
+        pooled = pool(keys)
         new = jnp.where(occ, jnp.minimum(keys, pooled), SENTINEL)
         # record the last sweep that changed anything (cheap full-grid
         # compare+reduce per sweep; the pools dominate)
@@ -129,7 +152,7 @@ def label_components_seeded(
         0, max_iters, body, (keys, jnp.int32(0)), unroll=4
     )
     # one extra sweep for the convergence diagnostic
-    last = jnp.where(occ, jnp.minimum(keys, ball_pool_min(keys, radius)), SENTINEL)
+    last = jnp.where(occ, jnp.minimum(keys, pool(keys)), SENTINEL)
     converged = jnp.all(last == keys)
     keys = last
     iters = jnp.where(converged, iters, jnp.int32(max_iters))

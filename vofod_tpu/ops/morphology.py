@@ -162,6 +162,68 @@ def ball_pool_min_naive(a: Array, radius: float, fill=None) -> Array:
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def ball_shells(bound: float) -> tuple[tuple[int, tuple], ...]:
+    """Offsets within ``bound`` grouped into shells of equal squared index
+    distance, ascending: ((r2, ((dz, dy, dx), ...)), ...).  The traced-radius
+    pools below include a shell iff ``r2_shell <= r2_traced``."""
+    shells: dict[int, list] = {}
+    for o in ball_offsets(bound):
+        r2 = o[0] * o[0] + o[1] * o[1] + o[2] * o[2]
+        shells.setdefault(r2, []).append(o)
+    return tuple(
+        (r2, tuple(offs)) for r2, offs in sorted(shells.items())
+    )
+
+
+def _ball_pool_traced(a: Array, r2, bound: float, combine, fill) -> Array:
+    """Ball pool whose radius is a TRACED scalar (squared, index units),
+    compiled at a static ``bound``: each equal-distance shell is pooled
+    statically and combined only where ``shell_r2 <= r2``.  This is how the
+    reference's live-tunable stencil radii (ground_points_max_distance,
+    sepclusters/max_bg_distance — dynamic_reconfigure params,
+    DetectionParams.cfg:16-44) move between steps WITHOUT recompiling.
+
+    Cost: the shell decomposition cannot share row pools, so this runs the
+    naive tap set (~123 shifts at bound 3 vs ~35 for the static
+    decomposition) — the price of `cfg.dynamic_radii`; the static path
+    stays the default."""
+    out = a  # shell 0
+    for r2_shell, offs in ball_shells(bound):
+        if r2_shell == 0:
+            continue
+        sp = None
+        for dz, dy, dx in offs:
+            s = shift3(a, dz, dy, dx, fill)
+            sp = s if sp is None else combine(sp, s)
+        out = jnp.where(r2_shell <= r2, combine(out, sp), out)
+    return out
+
+
+def ball_pool_max_traced(a: Array, r2, bound: float, fill=None) -> Array:
+    if fill is None:
+        fill = (
+            jnp.iinfo(a.dtype).min
+            if jnp.issubdtype(a.dtype, jnp.integer)
+            else -jnp.inf
+        )
+    return _ball_pool_traced(a, r2, bound, jnp.maximum, fill)
+
+
+def ball_pool_min_traced(a: Array, r2, bound: float, fill=None) -> Array:
+    if fill is None:
+        fill = (
+            jnp.iinfo(a.dtype).max
+            if jnp.issubdtype(a.dtype, jnp.integer)
+            else jnp.inf
+        )
+    return _ball_pool_traced(a, r2, bound, jnp.minimum, fill)
+
+
+def ball_pool_sum_traced(a: Array, r2, bound: float) -> Array:
+    return _ball_pool_traced(a, r2, bound, lax.add, 0)
+
+
 def hascloseto_pool_any(mask: Array, radius: float) -> Array:
     """Reference-exact hasCloseTo evaluated for every voxel at once
     (voxel_map.cpp:376-400): True where some ``mask`` voxel lies within

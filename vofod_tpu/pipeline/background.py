@@ -45,7 +45,20 @@ def split_and_update(
     prev_bg_sufficient: Array | bool = False,
     ops=DENSE,
 ) -> BackgroundOut:
-    radius = cfg.ground_points_max_distance / cfg.voxel_size
+    if cfg.dynamic_radii:
+        # live-tunable radius (ref dynamic_reconfigure ground_points_max_-
+        # distance): compile at the static bound, gate taps by traced r²
+        # (ops/morphology._ball_pool_traced) — no recompile on change
+        bound = (
+            cfg.ground_points_max_distance_bound or
+            cfg.ground_points_max_distance
+        ) / cfg.voxel_size
+        r_idx = dyn.ground_points_max_distance / cfg.voxel_size
+        traced_r2 = jnp.minimum(r_idx * r_idx, jnp.float32(bound * bound))
+        radius = bound
+    else:
+        traced_r2 = None
+        radius = cfg.ground_points_max_distance / cfg.voxel_size
 
     # --- background sufficiency (pre-update map, like the reference) --------
     # STICKY like the reference's m_background_pts_sufficient: set once when
@@ -70,6 +83,25 @@ def split_and_update(
         from vofod_tpu.ops.morphology import hascloseto_pool_any
 
         bg_near = hascloseto_pool_any(bg_mask, radius)
+    elif traced_r2 is not None:
+        from vofod_tpu.ops.components import label_components_seeded
+        from vofod_tpu.ops.morphology import ball_pool_max_traced
+
+        bg_near = (
+            ball_pool_max_traced(
+                bg_mask.astype(jnp.int8), traced_r2, radius, fill=0
+            )
+            > 0
+        )
+        seed = occupied & bg_near
+        labels, close, cc_converged, cc_iters = label_components_seeded(
+            occupied, seed, radius, cfg.cc_sweeps, traced_r2=traced_r2
+        )
+        far = occupied & ~close
+        return _finish(
+            cfg, dyn, grid_vals, counts, occupied, far, close, labels,
+            n_bg, bg_sufficient, cc_converged, cc_iters,
+        )
     else:
         bg_near = ops.pool_max(bg_mask.astype(jnp.int8), radius, fill=0) > 0
     seed = occupied & bg_near
@@ -78,6 +110,14 @@ def split_and_update(
     )
     far = occupied & ~close
 
+    return _finish(
+        cfg, dyn, grid_vals, counts, occupied, far, close, labels,
+        n_bg, bg_sufficient, cc_converged, cc_iters,
+    )
+
+
+def _finish(cfg, dyn, grid_vals, counts, occupied, far, close, labels,
+            n_bg, bg_sufficient, cc_converged, cc_iters) -> BackgroundOut:
     # --- EMA point update (ref updateVoxel :789-795) --------------------------
     w = jnp.exp2(-jnp.clip(counts, 0, 63).astype(jnp.float32))
     score = jnp.where(close, dyn.score_point, dyn.score_unknown)

@@ -85,29 +85,78 @@ def run_sepclusters(
         return run_sepclusters_exact(
             cfg, dyn, grid_vals, prev_safe, its_diff, prev_sure=prev_sure
         )
-    max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
-    adj_radius = math.ceil(max_dist_idx)  # cluster tolerance in index units
 
     bg = grid_vals > dyn.thr_new_obstacles
     sure = grid_vals > dyn.thr_sure_obstacles
 
-    # local sure-voxel counts stand in for per-cluster counts (see docstring)
-    local_sure = ops.pool_sum(sure.astype(jnp.int32), float(adj_radius) + 1.0)
-    seeds = sure & (local_sure.astype(jnp.float32) >= dyn.sepclusters_min_sure_points)
-    # empty background: the reference returns before touching
-    # m_sure_background_sufficient (:1155-1159) — keep the previous value
-    sure_sufficient = jnp.where(
-        ops.gany(bg), ops.gany(seeds), jnp.asarray(prev_sure)
-    )
+    if cfg.dynamic_radii:
+        # live-tunable max_bg_distance (ref dynamic_reconfigure,
+        # DetectionParams.cfg:36-44): stencils compile at the static bound;
+        # the traced radius gates taps by r² (ops/morphology, no recompile)
+        from vofod_tpu.ops.components import propagate_reach as _reach
+        from vofod_tpu.ops.morphology import (
+            ball_pool_max_traced,
+            ball_pool_sum_traced,
+        )
 
-    init = (prev_safe & bg) | (seeds & bg)
-    safe, converged = ops.propagate_reach(
-        bg, init, float(adj_radius), max_iters
-    )
+        bound_idx = (
+            cfg.sepclusters_max_bg_distance_bound
+            or cfg.sepclusters_max_bg_distance
+        ) / cfg.voxel_size
+        mdi = jnp.minimum(
+            dyn.sepclusters_max_bg_distance / cfg.voxel_size,
+            jnp.float32(bound_idx),
+        )
+        adj = jnp.ceil(mdi)  # cluster tolerance in index units (traced)
+        adj_bound = float(math.ceil(bound_idx))
 
-    unsafe = bg & ~safe
-    # demotion ball: indices with ||d|| <= max_bg_distance/voxel (ref :1219-1237)
-    demote = ops.pool_max(unsafe.astype(jnp.int8), max_dist_idx, fill=0) > 0
+        local_sure = ball_pool_sum_traced(
+            sure.astype(jnp.int32), (adj + 1.0) ** 2, adj_bound + 1.0
+        )
+        seeds = sure & (
+            local_sure.astype(jnp.float32) >= dyn.sepclusters_min_sure_points
+        )
+        sure_sufficient = jnp.where(
+            ops.gany(bg), ops.gany(seeds), jnp.asarray(prev_sure)
+        )
+        init = (prev_safe & bg) | (seeds & bg)
+        safe, converged = _reach(
+            bg, init, adj_bound, max_iters, traced_r2=adj * adj
+        )
+        unsafe = bg & ~safe
+        demote = (
+            ball_pool_max_traced(
+                unsafe.astype(jnp.int8), mdi * mdi, adj_bound, fill=0
+            )
+            > 0
+        )
+    else:
+        max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
+        adj_radius = math.ceil(max_dist_idx)  # cluster tolerance, index units
+
+        # local sure-voxel counts stand in for per-cluster counts (docstring)
+        local_sure = ops.pool_sum(
+            sure.astype(jnp.int32), float(adj_radius) + 1.0
+        )
+        seeds = sure & (
+            local_sure.astype(jnp.float32) >= dyn.sepclusters_min_sure_points
+        )
+        # empty background: the reference returns before touching
+        # m_sure_background_sufficient (:1155-1159) — keep the previous value
+        sure_sufficient = jnp.where(
+            ops.gany(bg), ops.gany(seeds), jnp.asarray(prev_sure)
+        )
+
+        init = (prev_safe & bg) | (seeds & bg)
+        safe, converged = ops.propagate_reach(
+            bg, init, float(adj_radius), max_iters
+        )
+
+        unsafe = bg & ~safe
+        # demotion ball: ||d|| <= max_bg_distance/voxel (ref :1219-1237)
+        demote = (
+            ops.pool_max(unsafe.astype(jnp.int8), max_dist_idx, fill=0) > 0
+        )
 
     w1 = jnp.clip(jnp.power(0.5, its_diff), 0.0, 1.0)  # ref :1242-1244
     # no demotion at all when no sure cluster exists (ref returns early :1197-1206)

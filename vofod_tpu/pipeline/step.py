@@ -182,6 +182,16 @@ def _make_step_fn(
             "the exact DDA needs per-pixel ranges; prebinned ingest pairs "
             "with the sweep raycast (make_step_fn docstring)"
         )
+    if cfg.dynamic_radii and (
+        ops.is_sharded
+        or cfg.sepclusters_exact_census
+        or cfg.compat_hascloseto_bounds
+    ):
+        raise NotImplementedError(
+            "dynamic_radii (traced stencil radii) is supported on the "
+            "single-chip dense path with the default sepclusters mode only "
+            "(config.py VoFODConfig.dynamic_radii)"
+        )
     grid = GridSpec.from_config(cfg)
     lut_dirs = jnp.asarray(lut.directions)
     lut_offs = jnp.asarray(lut.offsets)

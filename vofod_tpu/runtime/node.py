@@ -296,9 +296,25 @@ class VoFOD:
     def update_params(self, **kwargs) -> None:
         """Change scores/thresholds/gates between scans without recompiling —
         the dynamic_reconfigure analogue (ref DetectionParams.cfg params are
-        read every scan, vofod_nodelet.cpp m_drmgr_ptr->config.*)."""
+        read every scan, vofod_nodelet.cpp m_drmgr_ptr->config.*).
+
+        The two stencil radii (``ground_points_max_distance``,
+        ``sepclusters_max_bg_distance``) are live-tunable only when the node
+        was built with ``cfg.dynamic_radii`` — otherwise the static
+        VoFODConfig values apply and changing them here would silently do
+        nothing, so it raises instead."""
         import dataclasses as _dc
 
+        if not self.cfg.dynamic_radii:
+            for k in ("ground_points_max_distance",
+                      "sepclusters_max_bg_distance"):
+                if k in kwargs:
+                    raise ValueError(
+                        f"{k} shapes compiled stencils; it is static unless "
+                        "the node is built with cfg.dynamic_radii=True "
+                        "(which compiles at the *_bound radii and traces "
+                        "the value — see VoFODConfig.dynamic_radii)"
+                    )
         self.dyn = _dc.replace(self.dyn, **kwargs)
 
     def check_scan_consistency(
