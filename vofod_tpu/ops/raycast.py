@@ -81,6 +81,26 @@ def raycast_dda(
 
     Returns: float32 (nz, ny, nx) accumulated intersection lengths.
     """
+    fids, ws = dda_emissions(grid, starts, dirs, lengths, valid, max_length)
+    flat = jnp.zeros((grid.n_voxels,), jnp.float32).at[fids].add(
+        ws, mode="drop"
+    )
+    return flat.reshape(grid.shape)
+
+
+def dda_emissions(
+    grid: GridSpec,
+    starts: Array,
+    dirs: Array,
+    lengths: Array,
+    valid: Array,
+    max_length: float,
+) -> tuple[Array, Array]:
+    """The DDA walk's raw (flat voxel id, chord length) emission stream,
+    flattened in (step, ray) order — split out so the grid-sharded step can
+    scatter only locally-owned emissions (parallel/gridops.ZShardOps
+    .raycast_dda) while the order per voxel stays identical to the unsharded
+    accumulation (bit-exact f32 sums)."""
     vs = grid.voxel_size
     n_steps = int(math.ceil(max_length / vs * math.sqrt(3.0))) + 3
 
@@ -120,10 +140,7 @@ def raycast_dda(
     (_, _, _, _), (fids, ws) = lax.scan(
         body, (cur, tmax, jnp.zeros_like(lengths), alive0), None, length=n_steps
     )
-    flat = jnp.zeros((grid.n_voxels,), jnp.float32).at[fids.reshape(-1)].add(
-        ws.reshape(-1), mode="drop"
-    )
-    return flat.reshape(grid.shape)
+    return fids.reshape(-1), ws.reshape(-1)
 
 
 # =============================================================================
@@ -613,13 +630,6 @@ def _sweep_frame(
     """The six cone sweeps + assembly on one (possibly windowed) frame."""
     nz, ny, nx = opaque.shape
     sweep_cones = _sweep_cones
-    from vofod_tpu.ops.pallas_sweep import use_pallas_sweep
-
-    if use_pallas_sweep():
-        from vofod_tpu.ops.pallas_sweep import pallas_sweep_cones
-
-        sweep_cones = pallas_sweep_cones
-
     op = opaque.astype(jnp.float32)
 
     # --- six cone sweeps, grouped to minimize sequential steps ----------------

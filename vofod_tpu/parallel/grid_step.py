@@ -126,11 +126,20 @@ def make_grid_sharded_step(
             "(~4 GB f32 grid); shrink the oparea or coarsen the voxel size"
         )
     if cfg.sepclusters_exact_census:
-        raise NotImplementedError(
-            "sepclusters_exact_census is not supported with the grid-sharded "
-            "step (pipeline/sepclusters.py docstring) — use the default "
-            "local-density mode"
-        )
+        import math
+
+        mv = math.ceil(cfg.sepclusters_max_bg_distance / cfg.voxel_size)
+        lsz = max(mv - 1, 1)
+        if (nz // n) % lsz:
+            raise ValueError(
+                f"exact-census coarse leaf {lsz} must divide the shard "
+                f"height {nz // n} (pad the operation-area height)"
+            )
+        if cfg.compat_counted_indexing:
+            raise NotImplementedError(
+                "compat_counted_indexing (global export-order quirk) is "
+                "single-chip only; run the quirked census unsharded"
+            )
 
     ops = ZShardOps(axis, n)
     step = make_step_fn(

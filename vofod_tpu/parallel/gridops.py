@@ -38,6 +38,7 @@ from vofod_tpu.ops import binning
 from vofod_tpu.ops.compaction import masked_compact
 from vofod_tpu.ops.components import (
     SENTINEL,
+    label_components,
     label_components_seeded,
     propagate_reach,
 )
@@ -48,7 +49,12 @@ from vofod_tpu.ops.morphology import (
     ball_pool_min,
     ball_pool_sum,
 )
-from vofod_tpu.ops.raycast import raycast_sweep, raycast_sweep_zsharded
+from vofod_tpu.ops.raycast import (
+    dda_emissions,
+    raycast_dda,
+    raycast_sweep,
+    raycast_sweep_zsharded,
+)
 
 Array = jnp.ndarray
 
@@ -86,6 +92,20 @@ class DenseOps:
 
     def propagate_reach(self, occupied, seed, radius, max_iters):
         return propagate_reach(occupied, seed, radius, max_iters)
+
+    def label_components(self, occupied, radius, max_iters):
+        return label_components(occupied, radius, max_iters)
+
+    def label_census(self, labels, vals, ncv: int):
+        """Sum ``vals`` into each label's bucket and read back per cell:
+        the per-component census of the exact sepclusters mode
+        (ref vofod_nodelet.cpp:1174-1183)."""
+        census = (
+            jnp.zeros((ncv,), jnp.int32)
+            .at[labels.reshape(-1)]
+            .add(vals.reshape(-1), mode="drop")
+        )
+        return census[jnp.minimum(labels, ncv - 1)]
 
     # ---- histogram scatter --------------------------------------------------
     def scatter_add(self, grid: GridSpec, fid: Array, w: Array) -> Array:
@@ -143,6 +163,9 @@ class DenseOps:
     # ---- raycast -------------------------------------------------------------
     def raycast_sweep(self, grid, opaque, origin, rot, **kw):
         return raycast_sweep(grid, opaque, origin, rot, **kw)
+
+    def raycast_dda(self, grid, starts, dirs, lengths, valid, max_length):
+        return raycast_dda(grid, starts, dirs, lengths, valid, max_length)
 
 
 DENSE = DenseOps()
@@ -317,6 +340,43 @@ class ZShardOps:
         )
         return labels, reached, converged, iters
 
+    def label_components(self, occupied, radius, max_iters):
+        """Sharded twin of ops/components.py:label_components: global flat
+        ids, halo'd min-pool sweeps to convergence, psum'd change flag."""
+        occ = occupied.astype(jnp.bool_)
+        nzl, ny, nx = occ.shape
+        z0v = self._z0_rows(nzl) * (ny * nx)
+        flat = (
+            jnp.arange(nzl * ny * nx, dtype=jnp.int32).reshape(occ.shape)
+            + z0v
+        )
+        labels = jnp.where(occ, flat, SENTINEL)
+
+        def cond(state):
+            _, changed, it = state
+            return changed & (it < max_iters)
+
+        def body(state):
+            labels, _, it = state
+            pooled = self.pool_min(labels, radius)
+            new = jnp.where(occ, jnp.minimum(labels, pooled), SENTINEL)
+            return new, self.gany(new != labels), it + 1
+
+        state = (labels, jnp.bool_(True), jnp.int32(0))
+        labels, changed, _ = lax.while_loop(cond, body, state)
+        return labels, ~changed
+
+    def label_census(self, labels, vals, ncv: int):
+        """Per-component census across shards: shard-local scatter into the
+        global label space + psum, then a local read-back gather."""
+        census = (
+            jnp.zeros((ncv,), jnp.int32)
+            .at[labels.reshape(-1)]
+            .add(vals.reshape(-1), mode="drop")
+        )
+        census = lax.psum(census, self.axis)
+        return census[jnp.minimum(labels, ncv - 1)]
+
     def propagate_reach(self, occupied, seed, radius, max_iters):
         """Sharded twin of ops/components.py:propagate_reach (the global
         change flag moves into the body so the while condition stays a
@@ -456,3 +516,22 @@ class ZShardOps:
         return raycast_sweep_zsharded(
             grid, opaque, origin, rot, axis=self.axis, n_shards=self.n, **kw
         )
+
+    def raycast_dda(self, grid, starts, dirs, lengths, valid, max_length):
+        """Exact DDA on the Z-sharded grid: the ray walk is replicated (it is
+        ray-space work), each shard scatters only locally-owned emissions.
+        Per voxel the accumulation order equals the unsharded scatter's
+        (emissions keep their (step, ray) order; dropping non-owned entries
+        cannot reorder a voxel's own adds), so the result is bit-exact —
+        this is the parity mode for beyond-HBM operation areas."""
+        fids, ws = dda_emissions(grid, starts, dirs, lengths, valid, max_length)
+        nzl = grid.nz // self.n
+        nynx = grid.ny * grid.nx
+        nvl = nzl * nynx
+        z0v = self._z0_rows(nzl) * nynx
+        lfid = fids - z0v
+        own = (lfid >= 0) & (lfid < nvl)
+        wl = jnp.where(own, ws, 0.0)
+        lfid = jnp.clip(lfid, 0, nvl - 1)
+        flat = jnp.zeros((nvl,), jnp.float32).at[lfid].add(wl, mode="drop")
+        return flat.reshape(nzl, grid.ny, grid.nx)

@@ -51,8 +51,6 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from vofod_tpu.config import DynParams, VoFODConfig
-from vofod_tpu.ops.components import label_components
-from vofod_tpu.ops.morphology import ball_pool_sum
 from vofod_tpu.parallel.gridops import DENSE
 
 Array = jnp.ndarray
@@ -76,14 +74,9 @@ def run_sepclusters(
     prev_sure: Array | bool = False,
 ) -> SepClustersOut:
     if cfg.sepclusters_exact_census:
-        if ops.is_sharded:
-            raise NotImplementedError(
-                "sepclusters_exact_census is not supported with the grid-"
-                "sharded step (use the default local-density mode, or run "
-                "the exact census unsharded for parity studies)"
-            )
         return run_sepclusters_exact(
-            cfg, dyn, grid_vals, prev_safe, its_diff, prev_sure=prev_sure
+            cfg, dyn, grid_vals, prev_safe, its_diff, prev_sure=prev_sure,
+            ops=ops,
         )
 
     bg = grid_vals > dyn.thr_new_obstacles
@@ -259,11 +252,20 @@ def run_sepclusters_exact(
     its_diff: Array,
     max_label_iters: int = 128,
     prev_sure: Array | bool = False,
+    ops=DENSE,
 ) -> SepClustersOut:
     """Reference-exact separated-background maintenance (see module
     docstring).  Opt-in via ``cfg.sepclusters_exact_census``; the label
     propagation runs to convergence (bounded by ``max_label_iters``), so cost
     is data-dependent — use the default local-density mode for production.
+
+    Grid-sharded mode (``ops=ZShardOps``): the coarse pooling is shard-local
+    (requires the shard height divisible by the leaf size — validated by
+    make_grid_sharded_step), labels/census/demotion route through the
+    provider's halo'd pools + psum'd census; results match the unsharded
+    path bit-for-bit so parity studies run at beyond-HBM scale.  The
+    counted-indexing quirk needs a global export-order prefix sum and stays
+    single-chip.
     """
     max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
     mv = math.ceil(max_dist_idx)  # max_voxel_dist (ref :1143)
@@ -276,6 +278,11 @@ def run_sepclusters_exact(
 
     counts_c = _pool_sum_coarse(bg.astype(jnp.int32), lsz)
     if cfg.compat_counted_indexing:
+        if ops.is_sharded:
+            raise NotImplementedError(
+                "compat_counted_indexing needs a global export-order prefix "
+                "sum; run the quirked census unsharded"
+            )
         sure_c = _quirk_sure_counts(bg, sure, lsz)
     else:
         sure_c = _pool_sum_coarse((bg & sure).astype(jnp.int32), lsz)
@@ -283,26 +290,22 @@ def run_sepclusters_exact(
 
     # cluster coarse cells at tolerance max_voxel_dist on cell centers
     # (ref :1171): centers are lsz apart, so adjacency radius = mv / lsz
-    labels, converged = label_components(occ_c, mv / lsz, max_label_iters)
+    labels, converged = ops.label_components(occ_c, mv / lsz, max_label_iters)
 
     # per-component census: sum sure counts into the component root
-    ncv = labels.size
-    lf = labels.reshape(-1)
-    census = (
-        jnp.zeros((ncv,), jnp.int32)
-        .at[lf]
-        .add(jnp.where(occ_c.reshape(-1), sure_c.reshape(-1), 0), mode="drop")
-    )
+    ncv = labels.size * (ops.n if ops.is_sharded else 1)
     cell_census = jnp.where(
-        occ_c.reshape(-1), census[jnp.minimum(lf, ncv - 1)], 0
-    ).reshape(occ_c.shape)
+        occ_c,
+        ops.label_census(labels, jnp.where(occ_c, sure_c, 0), ncv),
+        0,
+    )
 
     min_sure = dyn.sepclusters_min_sure_points
     sure_cluster_c = occ_c & (cell_census.astype(jnp.float32) >= min_sure)
     # empty background: the reference returns before touching
     # m_sure_background_sufficient (:1155-1159) — keep the previous value
     sure_sufficient = jnp.where(
-        jnp.any(occ_c), jnp.any(sure_cluster_c), jnp.asarray(prev_sure)
+        ops.gany(occ_c), ops.gany(sure_cluster_c), jnp.asarray(prev_sure)
     )
     unsure_c = occ_c & ~sure_cluster_c
 
@@ -314,7 +317,7 @@ def run_sepclusters_exact(
     # OUTSIDE the fine grid while their balls reach in-grid voxels.
     centers = _center_mask(unsure_c, lsz)
     nzf, nyf, nxf = bg.shape
-    k = ball_pool_sum(centers.astype(jnp.int32), max_dist_idx)[
+    k = ops.pool_sum(centers.astype(jnp.int32), max_dist_idx)[
         :nzf, :nyf, :nxf
     ]
 

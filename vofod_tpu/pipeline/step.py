@@ -27,11 +27,7 @@ import jax.numpy as jnp
 
 from vofod_tpu.config import DynParams, VoFODConfig
 from vofod_tpu.geometry import GridSpec
-from vofod_tpu.ops.raycast import (
-    gate_faces,
-    make_angular_gate,
-    raycast_dda,
-)
+from vofod_tpu.ops.raycast import gate_faces, make_angular_gate
 from vofod_tpu.parallel.gridops import DENSE
 from vofod_tpu.pipeline.background import split_and_update
 from vofod_tpu.pipeline.classify import classify
@@ -171,10 +167,6 @@ def _make_step_fn(
       same per-pixel mask/intensity gates through the angular gate factor
       (ops/raycast.py gate_faces).
     """
-    if ops.is_sharded and raycast_mode == "exact":
-        raise NotImplementedError(
-            "exact DDA raycast is not supported with the grid-sharded step"
-        )
     if frontend_mode not in ("raw", "prebinned"):
         raise ValueError(f"unknown frontend_mode {frontend_mode!r}")
     if frontend_mode == "prebinned" and raycast_mode == "exact":
@@ -278,9 +270,9 @@ def _make_step_fn(
                     & (mask_dev | (r > 0))  # ref :1449-1450
                     & grid.in_limits(starts)
                 )
-                raylen = raycast_dda(
+                raylen = ops.raycast_dda(
                     grid, starts, dirs_w, lengths, rvalid,
-                    max_length=cfg.raycast_max_distance_bound,
+                    cfg.raycast_max_distance_bound,
                 )
             else:
                 faces = None
