@@ -101,32 +101,9 @@ def _ball_pool(a: Array, radius: float, combine, fill) -> Array:
     return out
 
 
-def _use_pallas(a: Array) -> bool:
-    """Opt-in fused Pallas stencil (VOFOD_PALLAS_POOL=1).  Measured on v5e the
-    XLA row-decomposition below is currently as fast or faster in-pipeline
-    (0.45-0.8 ms vs 0.6-1.0 ms per full-grid pool), so it stays the default;
-    the kernel is kept as the basis for further Mosaic-level tuning."""
-    import os
-
-    if os.environ.get("VOFOD_PALLAS_POOL") != "1":
-        return False
-    import jax
-
-    if jax.default_backend() != "tpu":
-        return False
-    if a.ndim != 3 or a.size < 65536:
-        return False
-    return a.dtype in (jnp.float32, jnp.int32)
-
-
 def ball_pool_min(a: Array, radius: float, fill=None) -> Array:
     if fill is None:
         fill = jnp.iinfo(a.dtype).max if jnp.issubdtype(a.dtype, jnp.integer) else jnp.inf
-    if _use_pallas(a):
-        from vofod_tpu.ops.pallas_pool import pallas_ball_pool
-
-        f = int(fill) if jnp.issubdtype(a.dtype, jnp.integer) else float(fill)
-        return pallas_ball_pool(a, radius, "min", f)
     return _ball_pool(a, radius, jnp.minimum, fill)
 
 
@@ -135,19 +112,10 @@ def ball_pool_max(a: Array, radius: float, fill=None) -> Array:
         fill = (
             jnp.iinfo(a.dtype).min if jnp.issubdtype(a.dtype, jnp.integer) else -jnp.inf
         )
-    if _use_pallas(a):
-        from vofod_tpu.ops.pallas_pool import pallas_ball_pool
-
-        f = int(fill) if jnp.issubdtype(a.dtype, jnp.integer) else float(fill)
-        return pallas_ball_pool(a, radius, "max", f)
     return _ball_pool(a, radius, jnp.maximum, fill)
 
 
 def ball_pool_sum(a: Array, radius: float) -> Array:
-    if _use_pallas(a):
-        from vofod_tpu.ops.pallas_pool import pallas_ball_pool
-
-        return pallas_ball_pool(a, radius, "sum", 0)
     return _ball_pool(a, radius, lax.add, 0)
 
 
