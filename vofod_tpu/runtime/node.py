@@ -40,6 +40,11 @@ class NodeOptions:
     # (the profiling mode; the fused default emits sequence-only markers
     # for RAYCASTING/SEPBGCLUSTERS — see process_scan)
     profile_stages: bool = False
+    # "prebinned": the production serving ingest — the host bins each scan
+    # (io/binner.py, native/frontend.cpp) and the packed count grid rides
+    # the upload; the device frontend is a pure elementwise unpack
+    # (no histogram scatter).  Pairs with the sweep raycast only.
+    frontend_mode: str = "raw"
 
 
 class VoFOD:
@@ -66,26 +71,29 @@ class VoFOD:
             self.cfg.sensor.vertical_rays,
             mangle=self.options.mask_mangle,
         )
+        kw = dict(
+            raycast_mode=self.options.raycast_mode,
+            raycast_every=self.options.raycast_every,
+            mask=self.mask,
+            frontend_mode=self.options.frontend_mode,
+        )
         if self.options.profile_stages:
             from vofod_tpu.pipeline.step import StagedStep
 
-            self._step = StagedStep(
-                self.cfg,
-                self.lut,
-                raycast_mode=self.options.raycast_mode,
-                raycast_every=self.options.raycast_every,
-                mask=self.mask,
-            )
+            self._step = StagedStep(self.cfg, self.lut, **kw)
         else:
-            self._step = make_step_fn(
-                self.cfg,
-                self.lut,
-                raycast_mode=self.options.raycast_mode,
-                raycast_every=self.options.raycast_every,
-                mask=self.mask,
-            )
+            self._step = make_step_fn(self.cfg, self.lut, **kw)
+        self._binner = None
+        if self.options.frontend_mode == "prebinned":
+            from vofod_tpu.io.binner import HostBinner
+
+            self._binner = HostBinner(self.cfg, self.lut, mask=self.mask)
         self._rangefinder_update = jax.jit(self._make_rangefinder_update())
         self.state: VoFODState = init_state(self.cfg, self.dyn)
+        # host-side mirror of state.step: reading the device scalar per scan
+        # costs a synchronous transfer (a full relay round-trip on tunneled
+        # setups) and breaks async pipelining
+        self._host_step = 0
         self._apriori_loaded = False
         self._sensor_checked = False
         self._sensor_params_ok = True
@@ -107,6 +115,22 @@ class VoFOD:
           consistency check (ref check_sensor_params, gated like
           sensor/check_consistency; vofod_nodelet.cpp:903-904).
         """
+        return self.fetch_result(
+            self.process_scan_async(ranges_mm, intensity, pose, stamp,
+                                    points_xyz=points_xyz)
+        )
+
+    def process_scan_async(
+        self, ranges_mm: np.ndarray, intensity: np.ndarray | None, pose: np.ndarray,
+        stamp: float = 0.0, points_xyz: np.ndarray | None = None,
+    ):
+        """Dispatch one scan without blocking on its results.
+
+        JAX dispatch is asynchronous, so the returned pending handle lets a
+        caller overlap the next scan's host work (binning, upload) with this
+        scan's device step — the stream runner's one-deep pipeline
+        (StreamRunner(pipeline_depth=1)).  Resolve with :meth:`fetch_result`.
+        """
         n = self.cfg.sensor.n_points
         r = np.asarray(ranges_mm).reshape(-1)
         if (
@@ -123,18 +147,40 @@ class VoFOD:
                 f"unexpected scan size {r.shape[0]}, expected {n} "
                 f"({self.cfg.sensor.vertical_rays}x{self.cfg.sensor.horizontal_rays})"
             )  # ref size guard, vofod_nodelet.cpp:895-899
-        inten = (
-            np.ones(n, np.float32) if intensity is None
-            else np.asarray(intensity, np.float32).reshape(-1)
-        )
         # named checkpoints around the dispatch (ref mrs_lib::ScopeTimer
         # checkpoints through processMsg, vofod_nodelet.cpp:887-964)
-        stimer = ScopeTimer(f"pc proc #{int(self.state.step)}")
-        scan = ScanInput(
-            ranges_mm=jnp.asarray(r.astype(np.float32)),
-            intensity=jnp.asarray(inten),
-            pose=jnp.asarray(np.asarray(pose, np.float32)),
-        )
+        stimer = ScopeTimer(f"pc proc #{self._host_step}")
+        pose_np = np.asarray(pose, np.float32)
+        if self._binner is not None:
+            from vofod_tpu.pipeline.state import PrebinnedScan
+
+            inten_np = (
+                None if intensity is None
+                else np.asarray(intensity, np.float32).reshape(-1)
+            )
+            b = self._binner.bin(
+                r, pose_np, intensity=inten_np,
+                min_intensity=float(self.dyn.raycast_min_intensity),
+            )
+            stimer.checkpoint("host bin")
+            scan = PrebinnedScan(
+                packed=jnp.asarray(b.packed),
+                active=jnp.asarray(b.active),
+                pose=jnp.asarray(pose_np),
+                stats=jnp.asarray(
+                    np.array([b.n_valid_points, b.n_exclude_hits], np.int32)
+                ),
+            )
+        else:
+            inten = (
+                np.ones(n, np.float32) if intensity is None
+                else np.asarray(intensity, np.float32).reshape(-1)
+            )
+            scan = ScanInput(
+                ranges_mm=jnp.asarray(r.astype(np.float32)),
+                intensity=jnp.asarray(inten),
+                pose=jnp.asarray(pose_np),
+            )
         stimer.checkpoint("upload")
         if self.options.profile_stages:
             # staged pipeline: three timed dispatches -> routine events with
@@ -145,10 +191,7 @@ class VoFOD:
             with self.profiling.routine(ProfilingInfo.ROUTINE_CNC):
                 self.state, out = self._step(self.state, scan, self.dyn)
         stimer.checkpoint("dispatch")
-        self.last_diag = jax.device_get(out.diag)
-        stimer.checkpoint("readback")
-        self.last_scope_timer = stimer
-        self._log_throttled()
+        self._host_step += 1
         if not self.options.profile_stages:
             # the fused step subsumes the reference's raycast and sepclusters
             # threads; emit their START/END markers so downstream
@@ -159,12 +202,25 @@ class VoFOD:
             if self.options.raycast_mode != "off" and not self.dyn.raycast_pause:
                 with self.profiling.routine(ProfilingInfo.ROUTINE_RAYCASTING):
                     pass
-            if int(self.state.step) % self.cfg.sepclusters_every == 1 % max(
+            if self._host_step % self.cfg.sepclusters_every == 1 % max(
                 self.cfg.sepclusters_every, 1
             ) or self.cfg.sepclusters_every == 1:
                 with self.profiling.routine(ProfilingInfo.ROUTINE_SEPBGCLUSTERS):
                     pass
-        return self._to_msg(out.detections, stamp)
+        return out, stamp, stimer
+
+    def fetch_result(self, pending) -> Detections:
+        """Block on a :meth:`process_scan_async` handle and convert to the
+        Detections message (the host-to-host tail).  ONE fused device_get:
+        on a tunneled device every transfer costs a relay round-trip
+        (~31 ms measured, bench_latency.py), so diag + detections ride one
+        readback."""
+        out, stamp, stimer = pending
+        self.last_diag, dets = jax.device_get((out.diag, out.detections))
+        stimer.checkpoint("readback")
+        self.last_scope_timer = stimer
+        self._log_throttled()
+        return self._to_msg_host(dets, stamp)
 
     _ROUTINE_BY_STAGE = {
         "cnc": ProfilingInfo.ROUTINE_CNC,
@@ -194,7 +250,7 @@ class VoFOD:
         d = self.last_diag
         self._log.info(
             "step=%d dets=%d occ=%d far=%d bg=%d active=%s cc_ok=%s",
-            int(self.state.step), int(d.n_detections), int(d.n_occupied),
+            self._host_step, int(d.n_detections), int(d.n_occupied),
             int(d.n_far), int(d.n_bg_voxels),
             bool(d.bg_sufficient and d.sure_bg_sufficient),
             bool(d.cc_converged),
@@ -206,7 +262,9 @@ class VoFOD:
             )  # ref :724
 
     def _to_msg(self, dets, stamp: float) -> Detections:
-        d = jax.device_get(dets)
+        return self._to_msg_host(jax.device_get(dets), stamp)
+
+    def _to_msg_host(self, d, stamp: float) -> Detections:
         msg = Detections(header=Header(stamp, self.options.world_frame_id))
         for k in range(d.valid.shape[0]):
             if not d.valid[k]:
@@ -335,6 +393,7 @@ class VoFOD:
     def reset(self):
         """The ~reset service (ref reset_callback :566-572)."""
         self.state = init_state(self.cfg, self.dyn)
+        self._host_step = 0
 
     # -------------------------------------------------------------- exports
     def export_voxels(self, threshold: float, above: bool = True) -> np.ndarray:
@@ -392,3 +451,4 @@ class VoFOD:
             sure_bg_sufficient=jnp.asarray(z["sure_bg_sufficient"]),
             bg_sufficient=jnp.asarray(z["bg_sufficient"]),
         )
+        self._host_step = int(z["step"])

@@ -49,8 +49,15 @@ class StreamRunner:
         poll_s: float = 0.0005,
         no_message_timeout_s: float = 5.0,  # ref subscriber timeout (:245)
         on_warning: Callable[[str], None] | None = None,
+        pipeline_depth: int = 1,
     ):
+        """``pipeline_depth``: scans dispatched ahead of the result fetch.
+        With the default 1, scan k+1's host work (binning, upload, dispatch)
+        overlaps scan k's device step — JAX dispatch is asynchronous, so the
+        consumer thread only blocks on the PREVIOUS scan's readback
+        (node.process_scan_async / fetch_result).  0 = fully synchronous."""
         self.node = node
+        self.pipeline_depth = int(pipeline_depth)
         self.queue = queue or ScanQueue(node.cfg.sensor.n_points, capacity=4)
         self.on_detections = on_detections
         self.on_status = on_status
@@ -59,6 +66,7 @@ class StreamRunner:
         self.no_message_timeout_s = no_message_timeout_s
         self.on_warning = on_warning
         self.stats = StreamStats()
+        self.inflight = 0  # dispatched scans not yet fetched (loop-owned)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
@@ -82,9 +90,12 @@ class StreamRunner:
             self._thread = None
 
     def drain(self, timeout: float = 60.0):
-        """Block until the queue is empty (tests / bag replay)."""
+        """Block until the queue is empty and the dispatch pipeline has
+        flushed (tests / bag replay)."""
         t0 = time.time()
-        while len(self.queue) > 0 and time.time() - t0 < timeout:
+        while (
+            len(self.queue) > 0 or self.inflight > 0
+        ) and time.time() - t0 < timeout:
             time.sleep(self.poll_s)
 
     def _loop(self):
@@ -92,9 +103,28 @@ class StreamRunner:
         t_prev = None
         last_msg = time.time()
         warned = False
+        pending: list = []  # dispatched-not-yet-fetched scans
+
+        def deliver(handle):
+            nonlocal t_prev
+            msg = self.node.fetch_result(handle)
+            self.stats.processed += 1
+            self.stats.dropped = self.queue.dropped
+            now = time.perf_counter()
+            if t_prev is not None:
+                self.stats.last_period_s = now - t_prev
+            t_prev = now
+            if self.on_detections is not None:
+                self.on_detections(msg)
+
         while not self._stop.is_set():
             item = self.queue.pop()
             if item is None:
+                # nothing new: flush the pipeline so results never stall
+                # behind an idle sensor
+                while pending:
+                    deliver(pending.pop(0))
+                    self.inflight = len(pending)
                 time.sleep(self.poll_s)
                 if (
                     not warned
@@ -109,18 +139,21 @@ class StreamRunner:
                 last_msg = time.time()
                 warned = False
                 ranges, pose = item
-                msg = self.node.process_scan(ranges, None, pose, time.time())
-                self.stats.processed += 1
-                self.stats.dropped = self.queue.dropped
-                now = time.perf_counter()
-                if t_prev is not None:
-                    self.stats.last_period_s = now - t_prev
-                t_prev = now
-                if self.on_detections is not None:
-                    self.on_detections(msg)
+                pending.append(
+                    self.node.process_scan_async(
+                        ranges, None, pose, time.time()
+                    )
+                )
+                self.inflight = len(pending)
+                while len(pending) > self.pipeline_depth:
+                    deliver(pending.pop(0))
+                    self.inflight = len(pending)
             if (
                 self.on_status is not None
                 and time.time() - last_status >= self.status_period_s
             ):
                 last_status = time.time()
                 self.on_status(self.node.status())
+        while pending:
+            deliver(pending.pop(0))
+            self.inflight = len(pending)
