@@ -116,8 +116,89 @@ class _TfChain:
 
 
 # -----------------------------------------------------------------------------
-# Bag reading (requires rosbag)
+# Bag reading: the `rosbag` package when installed, otherwise the pure-Python
+# fallback (io/rosbag_lite.py — uncompressed v2.0 bags with PointCloud2 + TF)
 # -----------------------------------------------------------------------------
+
+
+def _iter_bag_rosbag(bag_path, pointcloud_topic):
+    """Yield ('tf', dict) / ('cloud', (stamp, frame, H, W, fields)) via the
+    official rosbag package."""
+    import rosbag  # ROS machine
+    import sensor_msgs.point_cloud2 as pc2
+
+    with rosbag.Bag(bag_path) as bag:
+        for topic, msg, _t in bag.read_messages(
+            topics=[pointcloud_topic, "/tf", "/tf_static"]
+        ):
+            if topic in ("/tf", "/tf_static"):
+                for tr in msg.transforms:
+                    yield "tf", dict(
+                        stamp=tr.header.stamp.to_sec(),
+                        parent=tr.header.frame_id,
+                        child=tr.child_frame_id,
+                        txyz=(
+                            tr.transform.translation.x,
+                            tr.transform.translation.y,
+                            tr.transform.translation.z,
+                        ),
+                        quat=(
+                            tr.transform.rotation.x,
+                            tr.transform.rotation.y,
+                            tr.transform.rotation.z,
+                            tr.transform.rotation.w,
+                        ),
+                    )
+            else:
+                fields = [f.name for f in msg.fields]
+                if "range" in fields:
+                    d = {
+                        "range": np.array(
+                            list(pc2.read_points(msg, field_names=("range",))),
+                            np.uint32,
+                        )
+                    }
+                else:
+                    d = {
+                        "xyz": np.array(
+                            list(
+                                pc2.read_points(msg, field_names=("x", "y", "z"))
+                            ),
+                            np.float64,
+                        )
+                    }
+                yield "cloud", (
+                    msg.header.stamp.to_sec(),
+                    msg.header.frame_id,
+                    msg.height,
+                    msg.width,
+                    d,
+                )
+
+
+def _iter_bag_lite(bag_path, pointcloud_topic):
+    """Same stream via the pure-Python reader (no ROS install needed)."""
+    from vofod_tpu.io import rosbag_lite
+
+    for bm in rosbag_lite.read_bag(
+        bag_path, topics=[pointcloud_topic, "/tf", "/tf_static"]
+    ):
+        if bm.msg_type == rosbag_lite.TF_TYPE:
+            for tr in bm.msg:
+                yield "tf", tr
+        elif bm.msg_type == rosbag_lite.PC2_TYPE:
+            pc = bm.msg
+            names = [f[0] for f in pc.fields]
+            if "range" in names:
+                d = {"range": pc.extract(("range",))["range"]}
+            else:
+                cols = pc.extract(("x", "y", "z"))
+                d = {
+                    "xyz": np.stack(
+                        [cols["x"], cols["y"], cols["z"]], axis=1
+                    ).astype(np.float64)
+                }
+            yield "cloud", (pc.stamp, pc.frame_id, pc.height, pc.width, d)
 
 
 def convert_bag(
@@ -131,9 +212,6 @@ def convert_bag(
     max_scans: int | None = None,
 ) -> int:
     """Read a rosbag and write the NPZ replay file.  Returns #scans."""
-    import rosbag  # ROS machine only
-    import sensor_msgs.point_cloud2 as pc2
-
     from vofod_tpu.io.scan_source import save_scans_npz
 
     shift = None
@@ -143,60 +221,22 @@ def convert_bag(
         with open(metadata_json) as f:
             _, _, shift = parse_ouster_metadata(f.read())
 
+    try:
+        import rosbag  # noqa: F401
+
+        stream = _iter_bag_rosbag(bag_path, pointcloud_topic)
+    except ImportError:
+        stream = _iter_bag_lite(bag_path, pointcloud_topic)
+
     tf_msgs = []
     clouds = []
-    with rosbag.Bag(bag_path) as bag:
-        for topic, msg, t in bag.read_messages(
-            topics=[pointcloud_topic, "/tf", "/tf_static"]
-        ):
-            if topic in ("/tf", "/tf_static"):
-                for tr in msg.transforms:
-                    tf_msgs.append(
-                        dict(
-                            stamp=tr.header.stamp.to_sec(),
-                            parent=tr.header.frame_id,
-                            child=tr.child_frame_id,
-                            txyz=(
-                                tr.transform.translation.x,
-                                tr.transform.translation.y,
-                                tr.transform.translation.z,
-                            ),
-                            quat=(
-                                tr.transform.rotation.x,
-                                tr.transform.rotation.y,
-                                tr.transform.rotation.z,
-                                tr.transform.rotation.w,
-                            ),
-                        )
-                    )
-            else:
-                fields = [f.name for f in msg.fields]
-                if "range" in fields:
-                    arr = np.array(
-                        list(pc2.read_points(msg, field_names=("range",))),
-                        np.uint32,
-                    )
-                    d = {"range": arr}
-                else:
-                    d = {
-                        "xyz": np.array(
-                            list(
-                                pc2.read_points(msg, field_names=("x", "y", "z"))
-                            ),
-                            np.float64,
-                        )
-                    }
-                clouds.append(
-                    (
-                        msg.header.stamp.to_sec(),
-                        msg.header.frame_id,
-                        msg.height,
-                        msg.width,
-                        d,
-                    )
-                )
-                if max_scans and len(clouds) >= max_scans:
-                    break
+    for kind, item in stream:
+        if kind == "tf":
+            tf_msgs.append(item)
+        else:
+            clouds.append(item)
+            if max_scans and len(clouds) >= max_scans:
+                break
 
     if not clouds:
         raise ValueError(f"no messages on {pointcloud_topic} in {bag_path}")
