@@ -41,9 +41,13 @@ class TestConfig:
     def test_dynparams_pytree(self):
         import jax
 
+        import dataclasses
+
         dyn = DynParams().as_arrays()
         leaves = jax.tree.leaves(dyn)
-        assert len(leaves) == 20
+        # every DynParams field must trace (any dropped leaf would silently
+        # freeze a dynamic_reconfigure analogue at its compile-time value)
+        assert len(leaves) == len(dataclasses.fields(DynParams))
         # tracing through jit must not recompile on value changes
         calls = []
 

@@ -199,12 +199,25 @@ class VoFOD:
             # markers carry no duration by design — only CNC times the fused
             # dispatch; enable options.profile_stages for real per-routine
             # durations.
-            if self.options.raycast_mode != "off" and not self.dyn.raycast_pause:
+            # schedule parity: the device ran the stage this scan iff the
+            # PRE-increment step index matched its period (step.py do_ray /
+            # run_sep), and the reference returns BEFORE its profile_start
+            # when paused (vofod_nodelet.cpp:1128-1133, 1400-1405) — so a
+            # paused routine emits nothing.
+            prev = self._host_step - 1
+            ray_due = (
+                prev % max(self.options.raycast_every, 1)
+                == max(self.options.raycast_every, 1) - 1
+            )
+            if (
+                self.options.raycast_mode != "off"
+                and ray_due
+                and not self.dyn.raycast_pause
+            ):
                 with self.profiling.routine(ProfilingInfo.ROUTINE_RAYCASTING):
                     pass
-            if self._host_step % self.cfg.sepclusters_every == 1 % max(
-                self.cfg.sepclusters_every, 1
-            ) or self.cfg.sepclusters_every == 1:
+            sep_due = prev % max(self.cfg.sepclusters_every, 1) == 0
+            if sep_due and not self.dyn.sepclusters_pause:
                 with self.profiling.routine(ProfilingInfo.ROUTINE_SEPBGCLUSTERS):
                     pass
         return out, stamp, stimer
