@@ -2,7 +2,7 @@
 
 The oracle (tests/ref_pipeline.py) replays the reference's full processMsg +
 raycast_cloud + updateSeparatedBGClusters semantics scan-for-scan under the
-deterministic schedule.  A 30-scan moving-sensor scenario (background
+deterministic schedule.  A 52-scan moving-sensor scenario (background
 bootstrap from live scans, then a flying sphere target) runs through:
 
 * the TPU step in reference-exact modes (``raycast_mode="exact"``,
@@ -34,8 +34,8 @@ from vofod_tpu.pipeline.state import ScanInput, init_state
 from vofod_tpu.pipeline.step import make_step_fn
 from vofod_tpu.sensor import make_lut
 
-N_WARMUP = 12
-N_TARGET = 18
+N_WARMUP = 20
+N_TARGET = 32
 
 
 def parity_config(**kw):
