@@ -4,6 +4,7 @@ import threading
 import time
 
 import numpy as np
+import pytest
 
 from vofod_tpu.config import Box, DynParams, SensorConfig, VoFODConfig
 from vofod_tpu.io.scan_source import Scene, hover_pose, render_scan
@@ -11,7 +12,8 @@ from vofod_tpu.runtime.node import NodeOptions, VoFOD
 from vofod_tpu.runtime.stream import StreamRunner
 
 
-def test_stream_processes_and_drops():
+@pytest.mark.parametrize("depth", [0, 1, 3])
+def test_stream_processes_and_drops(depth):
     cfg = VoFODConfig(
         sensor=SensorConfig(vertical_rays=8, horizontal_rays=32),
         oparea=Box((0, 0, 4), (10.0, 10.0, 10.0)),
@@ -30,6 +32,7 @@ def test_stream_processes_and_drops():
         on_detections=got.append,
         on_status=statuses.append,
         status_period_s=0.02,
+        pipeline_depth=depth,  # 0 = synchronous; >=1 overlaps host+device
     ).start()
 
     N = 25
