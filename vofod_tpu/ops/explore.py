@@ -137,19 +137,10 @@ def explore_to_ground(
         _, changed, it = state
         return changed & (it < max_iters)
 
-    # several dilations per convergence check: each while_loop round costs a
-    # full `any(new != cur)` reduction plus loop overhead, which rivals the
-    # (traffic-bound, fused) dilation sweep itself; dilation is monotone and
-    # clipped by `expandable`, so extra post-convergence sweeps are no-ops
-    # and the unroll only changes how often convergence is TESTED.
-    unroll = 4
-
     def body(state):
         cur, _, it = state
-        new = cur
-        for _ in range(unroll):
-            new = new | (expandable & dil6_flat(new))
-        return new, jnp.any(new != cur), it + unroll
+        new = cur | (expandable & dil6_flat(cur))
+        return new, jnp.any(new != cur), it + 1
 
     reached, _, _ = lax.while_loop(cond, body, (reached0, jnp.bool_(True), jnp.int32(0)))
 
