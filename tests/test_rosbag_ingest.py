@@ -145,6 +145,27 @@ class TestRosbagLite:
         with open(path, "rb") as f:
             assert f.read(len(rb.MAGIC)) == rb.MAGIC
 
+    def test_bz2_chunk_roundtrip(self, tmp_path):
+        """`rosbag record --bz2` analogue: a bz2-compressed chunk reads
+        back identically (reader decompresses transparently)."""
+        path = os.path.join(tmp_path, "rt_bz2.bag")
+        data = np.arange(H * W, dtype="<u4")
+        with rb.BagWriter(path, compression="bz2") as w:
+            w.write_pointcloud2(
+                "/pc", 2.0, frame_id="s", height=H, width=W,
+                fields=[("range", 0, 6, 1)], point_step=4,
+                data=data.tobytes(),
+            )
+        (m,) = list(rb.read_bag(path))
+        np.testing.assert_array_equal(m.msg.extract(("range",))["range"], data)
+        # the chunk record on disk is actually bz2 (BZh magic in payload)
+        with open(path, "rb") as f:
+            assert b"BZh" in f.read()
+
+    def test_unknown_compression_raises(self, tmp_path):
+        with pytest.raises(ValueError):
+            rb.BagWriter(os.path.join(tmp_path, "x.bag"), compression="zstd")
+
     def test_topic_filter(self, fixture_bag):
         bag_path = fixture_bag[0]
         msgs = list(rb.read_bag(bag_path, topics=["/tf"]))
@@ -185,3 +206,67 @@ class TestBagToNpz:
         assert det_scans and det_scans[0] >= 8
         pos = np.array(msgs[det_scans[-1]].detections[0].position)
         assert abs(pos[2] - 9.0) < 1.0  # the floating sphere's altitude
+
+
+class TestDetectCliOnBag:
+    def test_detect_cli_bag_input(self, fixture_bag, tmp_path, capsys):
+        """`tools.detect --scans fixture.bag` — the `rosbag play` analogue:
+        the CLI converts the bag in place (io/rosbag_lite path) and replays
+        it; the flying target must surface in the JSON output.  The YAMLs +
+        --small-capacities reproduce small_cfg exactly, so the step cache
+        reuses the compile from the replay test above."""
+        import json as _json
+
+        from vofod_tpu.tools.detect import main
+
+        bag_path, meta_path, _, _ = fixture_bag
+        dety = str(tmp_path / "det.yaml")
+        with open(dety, "w") as f:
+            f.write(
+                "background_sufficient_points_ratio: 0.05\n"
+                "raycast: {weight_coefficient: 0.5}\n"
+            )
+        seny = str(tmp_path / "sen.yaml")
+        with open(seny, "w") as f:
+            f.write(
+                "sensor: {vertical_fov_angle: 90.0, vertical_rays: 16, "
+                "horizontal_rays: 64}\n"
+            )
+        mapy = str(tmp_path / "map.yaml")
+        with open(mapy, "w") as f:
+            f.write(
+                "operation_area:\n"
+                # ref convention: YAML z offset is the box BOTTOM; the loader
+                # adds size_z/2, giving small_cfg's center z = 5.75
+                "  offset: {x: 0.0, y: 0.0, z: 0.0}\n"
+                "  size: {x: 16.0, y: 16.0, z: 11.5}\n"
+            )
+        cloud = str(tmp_path / "ground.pts")
+        xs = np.arange(-7.5, 8.0, 0.5)
+        gx, gy = np.meshgrid(xs, xs)
+        from vofod_tpu.io.pc_loader import save_cloud
+
+        save_cloud(
+            cloud,
+            np.stack([gx.ravel(), gy.ravel(), np.full(gx.size, 0.5)], axis=1),
+        )
+        rc = main(
+            [
+                "--scans", bag_path,
+                "--pointcloud-topic", "/os_cloud_node/points",
+                "--metadata", meta_path,
+                "--config", dety, "--sensor", seny, "--map", mapy,
+                "--apriori-cloud", cloud,
+                "--small-capacities", "--json",
+            ]
+        )
+        assert rc == 0
+        out = [
+            _json.loads(l)
+            for l in capsys.readouterr().out.strip().splitlines()
+        ]
+        assert len(out) == 20  # one line per bag scan
+        det_scans = [i for i, m in enumerate(out) if m["detections"]]
+        assert det_scans and det_scans[0] >= 8
+        pos = out[det_scans[-1]]["detections"][0]["position"]
+        assert abs(pos[2] - 9.0) < 1.0

@@ -1,4 +1,4 @@
-"""Minimal pure-Python rosbag v2.0 reader/writer (uncompressed chunks).
+"""Minimal pure-Python rosbag v2.0 reader/writer (none/bz2 chunks).
 
 The reference is validated by rosbag replay (launch/detect.launch:8-10,
 ``rosbag_remap``); its recorded bags carry organized Ouster clouds
@@ -11,8 +11,9 @@ tests can author rosbag-format fixtures.
 
 Format per the rosbag 2.0 spec (wiki.ros.org/Bags/Format/2.0): records of
 header+data blobs; ops used: 0x03 bag header, 0x05 chunk (compression
-"none"), 0x07 connection, 0x02 message data, 0x04 index data, 0x06 chunk
-info.  The writer emits a properly indexed bag (index_pos, per-chunk index
+"none"/"bz2" both ways; "lz4" read-side when the ``lz4`` package is
+importable — roslz4 emits the standard LZ4 frame format), 0x07 connection,
+0x02 message data, 0x04 index data, 0x06 chunk info.  The writer emits a properly indexed bag (index_pos, per-chunk index
 records, trailing connection + chunk-info section) so the official tooling
 accepts the output too.
 
@@ -23,6 +24,7 @@ read.
 
 from __future__ import annotations
 
+import bz2
 import struct
 from dataclasses import dataclass, field
 
@@ -271,11 +273,17 @@ class _Conn:
 
 
 class BagWriter:
-    """Indexed, uncompressed rosbag v2.0 writer (one chunk per bag — the
-    fixture/offline-conversion scale this serves)."""
+    """Indexed rosbag v2.0 writer (one chunk per bag — the
+    fixture/offline-conversion scale this serves).
 
-    def __init__(self, path: str):
+    ``compression``: "none" (default) or "bz2" — the same two modes
+    ``rosbag record`` offers out of the box."""
+
+    def __init__(self, path: str, compression: str = "none"):
+        if compression not in ("none", "bz2"):
+            raise ValueError(f"unsupported compression {compression!r}")
         self.path = path
+        self.compression = compression
         self.conns: dict[str, _Conn] = {}
         self.msgs: list[tuple[int, float, bytes]] = []  # (cid, stamp, bytes)
 
@@ -340,14 +348,18 @@ class BagWriter:
             f.write(_record(bag_hdr, pad))
 
             chunk_pos = f.tell()
+            payload = (
+                bz2.compress(chunk) if self.compression == "bz2" else chunk
+            )
             f.write(
                 _record(
                     {
                         "op": bytes([OP_CHUNK]),
-                        "compression": b"none",
+                        "compression": self.compression.encode(),
+                        # per spec: size = UNcompressed chunk size
                         "size": _u32(len(chunk)),
                     },
-                    chunk,
+                    payload,
                 )
             )
             for cid, entries in sorted(index.items()):
@@ -412,9 +424,10 @@ class BagMessage:
 def read_bag(path: str, topics: list[str] | None = None):
     """Yield BagMessage for every decodable message, in file order.
 
-    Sequential chunk scan (no index needed); uncompressed chunks only —
-    recorded bags using bz2/lz4 must be decompressed first
-    (``rosbag decompress``)."""
+    Sequential chunk scan (no index needed).  Chunk compression: "none" and
+    "bz2" always work; "lz4" works when the ``lz4`` package is importable
+    (roslz4 writes the standard LZ4 frame format) — otherwise run
+    ``rosbag decompress`` first."""
     with open(path, "rb") as f:
         buf = f.read()
     if not buf.startswith(MAGIC):
@@ -429,7 +442,18 @@ def read_bag(path: str, topics: list[str] | None = None):
             conns[cid] = (ch["topic"].decode(), ch["type"].decode())
         elif op == OP_CHUNK:
             comp = header.get("compression", b"none").decode()
-            if comp != "none":
+            if comp == "bz2":
+                data = bz2.decompress(data)
+            elif comp == "lz4":
+                try:
+                    import lz4.frame
+                except ImportError:
+                    raise NotImplementedError(
+                        "lz4 chunk but no `lz4` package; run "
+                        "`rosbag decompress` first"
+                    ) from None
+                data = lz4.frame.decompress(data)
+            elif comp != "none":
                 raise NotImplementedError(
                     f"compressed chunk ({comp}); run `rosbag decompress` first"
                 )

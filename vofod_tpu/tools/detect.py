@@ -21,7 +21,21 @@ import sys
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--scans", help="NPZ recording (io.scan_source format)")
+    ap.add_argument(
+        "--scans",
+        help="NPZ recording (io.scan_source format), or a .bag (converted "
+        "on the fly via tools.bag_to_npz — the `rosbag play` analogue)",
+    )
+    ap.add_argument(
+        "--pointcloud-topic",
+        default="/os_cloud_node/points",
+        help="for --scans *.bag: the PointCloud2 topic to read",
+    )
+    ap.add_argument(
+        "--metadata",
+        default="",
+        help="for --scans *.bag: Ouster metadata JSON (destagger shifts)",
+    )
     ap.add_argument("--config", default="", help="detection_params.yaml")
     ap.add_argument("--sensor", default="", help="sensors/*.yaml")
     ap.add_argument("--map", dest="map_yaml", default="", help="apriori_maps/*.yaml")
@@ -29,6 +43,12 @@ def main(argv=None):
     ap.add_argument("--mask", default="", help="FOV mask (.npy/.png)")
     ap.add_argument("--mask-mangle", action="store_true")
     ap.add_argument("--raycast", default="sweep", choices=["sweep", "exact", "off"])
+    ap.add_argument(
+        "--small-capacities",
+        action="store_true",
+        help="shrink the compile-shaping static capacities (cluster/query/"
+        "submap slots) for small sensors/grids — faster compile, CPU-sized",
+    )
     ap.add_argument("--save-state", default="", help="write final map NPZ")
     ap.add_argument("--load-state", default="", help="resume from a map NPZ")
     ap.add_argument("--markers", default="", help="write final markers NPZ")
@@ -46,6 +66,17 @@ def main(argv=None):
         )
     else:
         cfg, dyn = VoFODConfig(), DynParams()
+    if args.small_capacities:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg,
+            max_clusters=8,
+            max_far_voxels=512,
+            max_queries=64,
+            explore_submap=16,
+            confidence_submap=8,
+        )
 
     node = VoFOD(
         cfg,
@@ -66,7 +97,27 @@ def main(argv=None):
 
     if not args.scans:
         ap.error("--scans is required (record one with io.scan_source)")
-    msgs = node.replay(args.scans)
+    scans_path = args.scans
+    if scans_path.endswith(".bag"):
+        # the reference consumes recorded flights via `rosbag play`
+        # (launch/detect.launch:8-10); here the bag converts in place and
+        # replays through the same NPZ path
+        import tempfile
+
+        from vofod_tpu.tools.bag_to_npz import convert_bag
+
+        tmp = tempfile.NamedTemporaryFile(suffix=".npz", delete=False)
+        tmp.close()
+        n = convert_bag(
+            scans_path,
+            tmp.name,
+            pointcloud_topic=args.pointcloud_topic,
+            metadata_json=args.metadata or None,
+            do_destagger=bool(args.metadata),
+        )
+        print(f"# converted {n} scans from {scans_path}", file=sys.stderr)
+        scans_path = tmp.name
+    msgs = node.replay(scans_path)
     for m in msgs:
         if args.json:
             print(
