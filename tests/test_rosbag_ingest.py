@@ -108,12 +108,26 @@ def fixture_bag(tmp_path_factory):
                       txyz=txyz, quat=quat)],
             )
             staggered = stagger(r.astype(np.uint32), shift)
+            # intensity channel rides along (ref gates raycast pixels on it,
+            # vofod_nodelet.cpp:1449) — deterministic per-pixel pattern,
+            # staggered exactly like the ranges
+            inten = (
+                100.0 + (np.arange(H * W, dtype=np.float32) % 7.0) + 0.5 * k
+            ).reshape(H, W)
+            inten_st = stagger(inten, shift)
+            interleaved = np.zeros((H * W, 8), np.uint8)
+            interleaved[:, :4] = (
+                staggered.astype("<u4").reshape(-1, 1).view(np.uint8)
+            )
+            interleaved[:, 4:] = (
+                inten_st.astype("<f4").reshape(-1, 1).view(np.uint8)
+            )
             w.write_pointcloud2(
                 "/os_cloud_node/points", t,
                 frame_id="os_sensor", height=H, width=W,
-                fields=[("range", 0, 6, 1)],  # uint32
-                point_step=4,
-                data=staggered.astype("<u4").tobytes(),
+                fields=[("range", 0, 6, 1), ("intensity", 4, 7, 1)],
+                point_step=8,
+                data=interleaved.tobytes(),
             )
     return bag_path, meta_path, np.stack(ranges_true), np.stack(poses_true)
 
@@ -189,6 +203,11 @@ class TestBagToNpz:
         z = np.load(out)
         np.testing.assert_array_equal(z["ranges"], ranges_true)
         np.testing.assert_allclose(z["poses"], poses_true, atol=1e-6)
+        # intensity extracted and destaggered alongside the ranges
+        assert "intensity" in z.files and z["intensity"].shape == z["ranges"].shape
+        want0 = (100.0 + (np.arange(H * W, dtype=np.float32) % 7.0))
+        np.testing.assert_allclose(z["intensity"][0], want0)
+        np.testing.assert_allclose(z["intensity"][5], want0 + 0.5 * 5)
 
         cfg = small_cfg()
         node = VoFOD(

@@ -433,10 +433,15 @@ class VoFOD:
         SURVEY.md §4; fixtures written by io.scan_source.save_scans_npz)."""
         from vofod_tpu.io.scan_source import load_scans_npz
 
-        ranges, poses, stamps = load_scans_npz(npz_path)
+        ranges, poses, stamps, inten = load_scans_npz(npz_path)
+        if intensity is not None:  # explicit arg overrides the recording
+            inten = None
         out = []
-        for r, p, t in zip(ranges, poses, stamps):
-            out.append(self.process_scan(r, intensity, p, float(t)))
+        for k, (r, p, t) in enumerate(zip(ranges, poses, stamps)):
+            i = intensity if intensity is not None else (
+                inten[k] if inten is not None else None
+            )
+            out.append(self.process_scan(r, i, p, float(t)))
         return out
 
     # ----------------------------------------------------------- checkpointing

@@ -167,6 +167,16 @@ def _iter_bag_rosbag(bag_path, pointcloud_topic):
                             np.float64,
                         )
                     }
+                # the reference gates raycast pixels on intensity
+                # (vofod_nodelet.cpp:1449); newer Ouster drivers name the
+                # channel "signal"
+                for name in ("intensity", "signal"):
+                    if name in fields:
+                        d["intensity"] = np.array(
+                            list(pc2.read_points(msg, field_names=(name,))),
+                            np.float32,
+                        ).reshape(-1)
+                        break
                 yield "cloud", (
                     msg.header.stamp.to_sec(),
                     msg.header.frame_id,
@@ -198,6 +208,12 @@ def _iter_bag_lite(bag_path, pointcloud_topic):
                         [cols["x"], cols["y"], cols["z"]], axis=1
                     ).astype(np.float64)
                 }
+            for name in ("intensity", "signal"):
+                if name in names:
+                    d["intensity"] = (
+                        pc.extract((name,))[name].astype(np.float32)
+                    )
+                    break
             yield "cloud", (pc.stamp, pc.frame_id, pc.height, pc.width, d)
 
 
@@ -243,11 +259,16 @@ def convert_bag(
     sensor_frame = sensor_frame or clouds[0][1].lstrip("/")
     chain = accumulate_tf(tf_msgs, world_frame, sensor_frame)
 
-    ranges, poses, stamps = [], [], []
+    ranges, poses, stamps, intens = [], [], [], []
     for stamp, _frame, H, W, d in clouds:
         ranges.append(
             organized_cloud_to_scan(d, H, W, shift, do_destagger)
         )
+        if "intensity" in d:
+            img = np.asarray(d["intensity"], np.float32).reshape(H, W)
+            if do_destagger:
+                img = destagger_img(img, shift)
+            intens.append(img.reshape(-1))
         poses.append(chain.lookup(stamp))
         stamps.append(stamp)
     save_scans_npz(
@@ -255,6 +276,9 @@ def convert_bag(
         np.stack(ranges),
         np.stack(poses).astype(np.float32),
         np.asarray(stamps),
+        # only if EVERY scan carried the channel (mixed bags fall back to
+        # the all-pass default, same as the reference with min_intensity=0)
+        intensity=np.stack(intens) if len(intens) == len(ranges) else None,
     )
     return len(ranges)
 

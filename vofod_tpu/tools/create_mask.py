@@ -24,7 +24,7 @@ def main(argv=None):
     from vofod_tpu.io.scan_source import load_scans_npz
     from vofod_tpu.runtime.mask_creator import MaskCreator
 
-    ranges, _, _ = load_scans_npz(args.scans)
+    ranges, _, _, _ = load_scans_npz(args.scans)
     n = ranges.shape[1]
     if args.rays:
         h, w = (int(v) for v in args.rays.lower().split("x"))

@@ -44,6 +44,13 @@ def main(argv=None):
     ap.add_argument("--mask-mangle", action="store_true")
     ap.add_argument("--raycast", default="sweep", choices=["sweep", "exact", "off"])
     ap.add_argument(
+        "--frontend",
+        default="raw",
+        choices=["raw", "prebinned"],
+        help="prebinned = the production serving ingest (host bins via "
+        "native/frontend.cpp; sweep raycast only)",
+    )
+    ap.add_argument(
         "--small-capacities",
         action="store_true",
         help="shrink the compile-shaping static capacities (cluster/query/"
@@ -85,6 +92,7 @@ def main(argv=None):
             raycast_mode=args.raycast,
             mask_path=args.mask,
             mask_mangle=args.mask_mangle,
+            frontend_mode=args.frontend,
         ),
     )
     if args.load_state:
