@@ -204,7 +204,8 @@ class TestRosNode:
         from vofod_tpu.runtime.ros_adapter import RosNode
 
         node = RosNode(_node())
-        assert set(ros_stub.subs) == {"~pointcloud", "~rangefinder"}
+        # subscriber names match the reference's (vofod_nodelet.cpp:247-248)
+        assert set(ros_stub.subs) == {"~pointcloud", "~height_rangefinder"}
         assert set(ros_stub.srvs) == {"~reset"}
         for topic in (
             "~detections_json", "~status_json", "~profiling_info_json",
@@ -212,6 +213,56 @@ class TestRosNode:
         ):
             assert topic in ros_stub.pubs, topic
         assert ros_stub.timers, "10 Hz status timer missing"
+        assert node is not None
+
+    def test_remap_and_rosbag_suffix(self, ros_stub):
+        """<remap> lines + the rosbag_remap suffix (detect.launch:8-10,58-88):
+        subscriptions remap only; every output topic gets the suffix; the
+        reset service is never suffixed."""
+        from vofod_tpu.runtime.ros_adapter import RosNode
+
+        RosNode(
+            _node(),
+            remap={
+                "~pointcloud": "/uav1/os_cloud_nodelet/points",
+                "~height_rangefinder": "/uav1/garmin/range",
+            },
+            topic_suffix="_",
+        )
+        assert set(ros_stub.subs) == {
+            "/uav1/os_cloud_nodelet/points", "/uav1/garmin/range"
+        }
+        assert set(ros_stub.srvs) == {"~reset"}
+        for topic in (
+            "~detections_json_", "~status_json_", "~profiling_info_json_",
+            "~detections_mks_", "~background_pc_", "~sure_air_pc_",
+        ):
+            assert topic in ros_stub.pubs, topic
+
+    def test_scan_callback_passes_intensity(self, ros_stub, monkeypatch):
+        """The raycast intensity gate rides the cloud message
+        (ref vofod_nodelet.cpp:1449); 'signal' is the newer driver name."""
+        from vofod_tpu.runtime.ros_adapter import RosNode
+
+        node = RosNode(_node())
+        seen = []
+        monkeypatch.setattr(
+            VoFOD, "process_scan",
+            lambda self, r, inten, pose, stamp, **kw: seen.append(inten)
+            or SimpleNamespace(detections=[],
+                               header=SimpleNamespace(stamp=stamp,
+                                                      frame_id="world")),
+        )
+        cb = ros_stub.subs["~pointcloud"]
+        r = np.full(H * W, 5000, np.uint32)
+        msg = _pc_msg(r)
+        msg.fields.append(SimpleNamespace(name="signal"))
+        msg._columns["signal"] = (np.arange(H * W) % 11).astype(float).tolist()
+        cb(msg)
+        assert seen and seen[0] is not None
+        np.testing.assert_allclose(seen[0], np.arange(H * W) % 11)
+        cb(_pc_msg(r))  # no intensity field -> None (all-pass default)
+        assert seen[1] is None
         assert node is not None
 
     def test_scan_callback_publishes_detection(self, ros_stub):

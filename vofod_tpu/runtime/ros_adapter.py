@@ -7,7 +7,9 @@ adapter is import-safe; the pure conversion functions are unit-tested).
 
 Topic mapping (ref vofod_nodelet.cpp:241-278, launch/detect.launch:58-88):
   in : ~pointcloud (sensor_msgs/PointCloud2, organized HxW, 'range' field)
-  in : ~rangefinder (sensor_msgs/Range)
+  in : ~height_rangefinder (sensor_msgs/Range — the reference's subscriber
+       name, vofod_nodelet.cpp:248; detect.launch remaps it to the UAV's
+       garmin topic)
   out: ~detections_json (std_msgs/String — vofod/Detections content; the mrs
        message package is not a dependency here)
   out: ~status_json (std_msgs/String — vofod/Status content, 10 Hz)
@@ -17,6 +19,13 @@ Topic mapping (ref vofod_nodelet.cpp:241-278, launch/detect.launch:58-88):
   out: ~background_pc / ~sure_air_pc (sensor_msgs/PointCloud2 debug clouds,
        ref :1001-1016), published on the 10 Hz status timer when subscribed
   srv: ~reset (std_srvs/Trigger, ref reset_callback :566-572)
+
+Remapping: ``remap={"~pointcloud": "/uav1/os_cloud_nodelet/points", ...}``
+reproduces the launch-file ``<remap>`` lines, and ``topic_suffix="_"``
+reproduces the ``rosbag_remap`` argument (every *output* topic gets the
+suffix so replayed bags don't collide with live topics,
+launch/detect.launch:8-10, 64-84; subscriptions and the reset service are
+never suffixed, matching the launch file).
 
 TF lookups that fail are logged loudly and counted (the reference warns per
 failure, vofod_nodelet.cpp:913-923) — scans are never silently dropped.
@@ -122,7 +131,8 @@ class RosNode:
     """rospy wrapper; constructed only when ROS is present."""
 
     def __init__(self, detector: VoFOD, tf_frame: str = "world",
-                 status_rate_hz: float = 10.0):
+                 status_rate_hz: float = 10.0,
+                 remap: dict | None = None, topic_suffix: str = ""):
         if not ros_available():
             raise RuntimeError(
                 "rospy not available — use vofod_tpu.runtime.node.VoFOD directly"
@@ -135,25 +145,34 @@ class RosNode:
         self.det = detector
         self.tf_frame = tf_frame
         self.tf_failures = 0
-        rospy.Subscriber("~pointcloud", PointCloud2, self._pc_cb, queue_size=2)
-        rospy.Subscriber("~rangefinder", Range, self._rf_cb, queue_size=2)
-        self._srv = rospy.Service("~reset", Trigger, self._reset_cb)
-        self._pub_det = rospy.Publisher("~detections_json", String, queue_size=2)
-        self._pub_status = rospy.Publisher("~status_json", String, queue_size=2)
+        remap = remap or {}
+        # subscriptions/services: remap only; outputs: remap, then suffix
+        # (the rosbag_remap behavior — launch/detect.launch:64-84)
+        sub = lambda name: remap.get(name, name)
+        out = lambda name: remap.get(name, name) + topic_suffix
+        rospy.Subscriber(sub("~pointcloud"), PointCloud2, self._pc_cb,
+                         queue_size=2)
+        rospy.Subscriber(sub("~height_rangefinder"), Range, self._rf_cb,
+                         queue_size=2)
+        self._srv = rospy.Service(sub("~reset"), Trigger, self._reset_cb)
+        self._pub_det = rospy.Publisher(out("~detections_json"), String,
+                                        queue_size=2)
+        self._pub_status = rospy.Publisher(out("~status_json"), String,
+                                           queue_size=2)
         self._pub_prof = rospy.Publisher(
-            "~profiling_info_json", String, queue_size=16
+            out("~profiling_info_json"), String, queue_size=16
         )
         try:
             from visualization_msgs.msg import MarkerArray
 
             self._pub_mks = rospy.Publisher(
-                "~detections_mks", MarkerArray, queue_size=2
+                out("~detections_mks"), MarkerArray, queue_size=2
             )
         except ImportError:
             self._pub_mks = None
-        self._pub_bg_pc = rospy.Publisher("~background_pc", PointCloud2,
+        self._pub_bg_pc = rospy.Publisher(out("~background_pc"), PointCloud2,
                                           queue_size=1)
-        self._pub_air_pc = rospy.Publisher("~sure_air_pc", PointCloud2,
+        self._pub_air_pc = rospy.Publisher(out("~sure_air_pc"), PointCloud2,
                                            queue_size=1)
         # wire the detector's profiling stream straight to the topic
         self.det.profiling.set_publisher(
@@ -188,10 +207,20 @@ class RosNode:
                 np.float64,
             )
             ranges = pointcloud2_to_ranges({"xyz": xyz}, H, W)
+        # intensity gates raycast pixels (ref vofod_nodelet.cpp:1449);
+        # newer Ouster drivers name the channel "signal"
+        inten = None
+        for name in ("intensity", "signal"):
+            if name in fields:
+                inten = np.array(
+                    list(pc2.read_points(msg, field_names=(name,))), np.float32
+                ).reshape(-1)
+                break
         pose = self._lookup_pose(msg.header)
         if pose is None:
             return  # already logged loudly by _lookup_pose
-        out = self.det.process_scan(ranges, None, pose, msg.header.stamp.to_sec())
+        out = self.det.process_scan(ranges, inten, pose,
+                                    msg.header.stamp.to_sec())
         self._pub_det.publish(String(data=detections_to_json(out)))
         if self._pub_mks is not None and self._pub_mks.get_num_connections():
             self._pub_mks.publish(self._detection_markers(out, msg.header))
