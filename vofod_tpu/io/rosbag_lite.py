@@ -1,4 +1,4 @@
-"""Minimal pure-Python rosbag v2.0 reader/writer (none/bz2 chunks).
+"""Minimal pure-Python rosbag v2.0 reader/writer (none/bz2/lz4 chunks).
 
 The reference is validated by rosbag replay (launch/detect.launch:8-10,
 ``rosbag_remap``); its recorded bags carry organized Ouster clouds
@@ -11,8 +11,9 @@ tests can author rosbag-format fixtures.
 
 Format per the rosbag 2.0 spec (wiki.ros.org/Bags/Format/2.0): records of
 header+data blobs; ops used: 0x03 bag header, 0x05 chunk (compression
-"none"/"bz2" both ways; "lz4" read-side when the ``lz4`` package is
-importable — roslz4 emits the standard LZ4 frame format), 0x07 connection,
+"none"/"bz2"/"lz4" both ways — roslz4 emits the standard LZ4 frame format,
+handled by the pure-Python ``io/lz4_lite`` codec, or by the real ``lz4``
+package when importable), 0x07 connection,
 0x02 message data, 0x04 index data, 0x06 chunk info.  The writer emits a properly indexed bag (index_pos, per-chunk index
 records, trailing connection + chunk-info section) so the official tooling
 accepts the output too.
@@ -31,6 +32,28 @@ from dataclasses import dataclass, field
 import numpy as np
 
 MAGIC = b"#ROSBAG V2.0\n"
+
+
+def _lz4_decompress(data: bytes) -> bytes:
+    try:
+        import lz4.frame
+
+        return lz4.frame.decompress(data)
+    except ImportError:
+        from vofod_tpu.io import lz4_lite
+
+        return lz4_lite.decompress(data)
+
+
+def _lz4_compress(data: bytes) -> bytes:
+    try:
+        import lz4.frame
+
+        return lz4.frame.compress(data)
+    except ImportError:
+        from vofod_tpu.io import lz4_lite
+
+        return lz4_lite.compress(data)
 
 OP_MSG = 0x02
 OP_BAG_HEADER = 0x03
@@ -276,11 +299,12 @@ class BagWriter:
     """Indexed rosbag v2.0 writer (one chunk per bag — the
     fixture/offline-conversion scale this serves).
 
-    ``compression``: "none" (default) or "bz2" — the same two modes
-    ``rosbag record`` offers out of the box."""
+    ``compression``: "none" (default), "bz2" or "lz4" — the same modes
+    ``rosbag record`` offers (lz4 via io/lz4_lite, or the real ``lz4``
+    package when importable)."""
 
     def __init__(self, path: str, compression: str = "none"):
-        if compression not in ("none", "bz2"):
+        if compression not in ("none", "bz2", "lz4"):
             raise ValueError(f"unsupported compression {compression!r}")
         self.path = path
         self.compression = compression
@@ -348,9 +372,12 @@ class BagWriter:
             f.write(_record(bag_hdr, pad))
 
             chunk_pos = f.tell()
-            payload = (
-                bz2.compress(chunk) if self.compression == "bz2" else chunk
-            )
+            if self.compression == "bz2":
+                payload = bz2.compress(chunk)
+            elif self.compression == "lz4":
+                payload = _lz4_compress(chunk)
+            else:
+                payload = chunk
             f.write(
                 _record(
                     {
@@ -424,10 +451,10 @@ class BagMessage:
 def read_bag(path: str, topics: list[str] | None = None):
     """Yield BagMessage for every decodable message, in file order.
 
-    Sequential chunk scan (no index needed).  Chunk compression: "none" and
-    "bz2" always work; "lz4" works when the ``lz4`` package is importable
-    (roslz4 writes the standard LZ4 frame format) — otherwise run
-    ``rosbag decompress`` first."""
+    Sequential chunk scan (no index needed).  Chunk compression "none",
+    "bz2" and "lz4" all work with no external packages (lz4 via the
+    pure-Python io/lz4_lite frame codec; the real ``lz4`` package takes
+    priority when importable)."""
     with open(path, "rb") as f:
         buf = f.read()
     if not buf.startswith(MAGIC):
@@ -445,14 +472,7 @@ def read_bag(path: str, topics: list[str] | None = None):
             if comp == "bz2":
                 data = bz2.decompress(data)
             elif comp == "lz4":
-                try:
-                    import lz4.frame
-                except ImportError:
-                    raise NotImplementedError(
-                        "lz4 chunk but no `lz4` package; run "
-                        "`rosbag decompress` first"
-                    ) from None
-                data = lz4.frame.decompress(data)
+                data = _lz4_decompress(data)
             elif comp != "none":
                 raise NotImplementedError(
                     f"compressed chunk ({comp}); run `rosbag decompress` first"
