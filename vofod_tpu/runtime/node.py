@@ -446,8 +446,17 @@ class VoFOD:
 
     # ----------------------------------------------------------- checkpointing
     def save_snapshot(self, path: str):
-        """NPZ snapshot of the full detector state (the reference has no map
-        checkpointing — SURVEY.md §5 gap, closed here)."""
+        """Snapshot of the full detector state (the reference has no map
+        checkpointing — SURVEY.md §5 gap, closed here).
+
+        ``*.npz`` paths write a host NPZ; any other path writes an Orbax
+        checkpoint directory (runtime/checkpoint.py — per-shard device
+        writes, the format the sharded/fleet runtimes use)."""
+        if not path.endswith(".npz"):
+            from vofod_tpu.runtime.checkpoint import save_state
+
+            save_state(path, self.state)
+            return
         s = jax.device_get(self.state)
         np.savez_compressed(
             path,
@@ -460,6 +469,12 @@ class VoFOD:
         )
 
     def load_snapshot(self, path: str):
+        if not path.endswith(".npz"):
+            from vofod_tpu.runtime.checkpoint import restore_state
+
+            self.state = restore_state(path, self.state)
+            self._host_step = int(np.asarray(self.state.step))
+            return
         z = np.load(path)
         self.state = VoFODState(
             grid=jnp.asarray(z["grid"]),

@@ -56,8 +56,15 @@ def main(argv=None):
         help="shrink the compile-shaping static capacities (cluster/query/"
         "submap slots) for small sensors/grids — faster compile, CPU-sized",
     )
-    ap.add_argument("--save-state", default="", help="write final map NPZ")
-    ap.add_argument("--load-state", default="", help="resume from a map NPZ")
+    ap.add_argument(
+        "--save-state", default="",
+        help="write the final map (*.npz = host NPZ; any other path = "
+        "Orbax checkpoint dir, runtime/checkpoint.py)",
+    )
+    ap.add_argument(
+        "--load-state", default="",
+        help="resume from a map snapshot (NPZ or Orbax dir)",
+    )
     ap.add_argument("--markers", default="", help="write final markers NPZ")
     ap.add_argument("--json", action="store_true", help="JSON lines output")
     args = ap.parse_args(argv)
