@@ -428,9 +428,14 @@ class VoFOD:
         ).astype(np.float32)
 
     # ------------------------------------------------------------------ replay
-    def replay(self, npz_path: str, intensity=None) -> list[Detections]:
+    def replay(
+        self, npz_path: str, intensity=None, before_scan=None
+    ) -> list[Detections]:
         """Run a recorded scan sequence (the rosbag-replay analogue,
-        SURVEY.md §4; fixtures written by io.scan_source.save_scans_npz)."""
+        SURVEY.md §4; fixtures written by io.scan_source.save_scans_npz).
+
+        ``before_scan``: optional ``f(scan_index)`` called before each scan
+        (e.g. a runtime.param_watch.ParamWatcher.poll for live tuning)."""
         from vofod_tpu.io.scan_source import load_scans_npz
 
         ranges, poses, stamps, inten = load_scans_npz(npz_path)
@@ -438,6 +443,11 @@ class VoFOD:
             inten = None
         out = []
         for k, (r, p, t) in enumerate(zip(ranges, poses, stamps)):
+            if before_scan is not None:
+                # per-scan hook: live param polling (runtime/param_watch.py —
+                # the reference reads dynamic_reconfigure values every scan,
+                # vofod_nodelet.cpp m_drmgr_ptr->config.*), progress, etc.
+                before_scan(k)
             i = intensity if intensity is not None else (
                 inten[k] if inten is not None else None
             )

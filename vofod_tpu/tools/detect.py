@@ -67,6 +67,12 @@ def main(argv=None):
     )
     ap.add_argument("--markers", default="", help="write final markers NPZ")
     ap.add_argument("--json", action="store_true", help="JSON lines output")
+    ap.add_argument(
+        "--watch-params", default="",
+        help="detection_params YAML polled before every scan; edits apply "
+        "live without recompiling (the dynamic_reconfigure analogue, "
+        "runtime/param_watch.py)",
+    )
     args = ap.parse_args(argv)
 
     from vofod_tpu.config import DynParams, VoFODConfig, load_config
@@ -132,7 +138,14 @@ def main(argv=None):
         )
         print(f"# converted {n} scans from {scans_path}", file=sys.stderr)
         scans_path = tmp.name
-    msgs = node.replay(scans_path)
+    before_scan = None
+    if args.watch_params:
+        from vofod_tpu.runtime.param_watch import ParamWatcher
+
+        watcher = ParamWatcher(node, args.watch_params)
+        watcher.poll()  # the watched file is authoritative from scan 0
+        before_scan = lambda k: watcher.poll()
+    msgs = node.replay(scans_path, before_scan=before_scan)
     for m in msgs:
         if args.json:
             print(
