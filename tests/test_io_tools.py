@@ -200,6 +200,66 @@ class TestVoxelExports:
         assert len(air) == cfg.n_voxels - 1
 
 
+class TestVizConfig:
+    def test_shipped_yaml_matches_reference_palette(self):
+        import pathlib
+
+        from vofod_tpu.runtime.viz import load_viz_config
+
+        path = (
+            pathlib.Path(__file__).resolve().parents[1]
+            / "configs"
+            / "visualization.yaml"
+        )
+        viz = load_viz_config(str(path))
+        # ref config/visualization.yaml values
+        assert viz.vmap["new_obstacles"] == (0.0, 0.8, 0.8, 1.0)
+        assert viz.vmap["sure_obstacles"] == (0.0, 0.7, 0.3, 1.0)
+        assert viz.vmap["apriori_map"] == (0.0, 0.5, 0.0, 1.0)
+        assert viz.vmap["frontiers"] == (1.0, 0.0, 1.0, 0.3)
+        assert viz.vmap["candidates"] == (1.0, 0.0, 0.0, 0.8)
+        assert viz.vflags["background"] == (0.0, 0.7, 0.3, 1.0)
+        assert viz.vflags["unknown"] == (0.1, 0.3, 0.7, 1.0)
+        # missing file and no file both give the same shipped defaults
+        assert load_viz_config(None).vmap == viz.vmap
+        assert load_viz_config("/nonexistent/viz.yaml").vflags == viz.vflags
+
+    def test_vmap_thresholds_binding(self):
+        """Colors bind to the live thresholds of the same names
+        (ref vofod_nodelet.cpp:1025-1027)."""
+        from vofod_tpu.config import DynParams
+        from vofod_tpu.runtime.viz import load_viz_config
+
+        dyn = DynParams()
+        ths = load_viz_config(None).vmap_thresholds(dyn)
+        assert ths[0] == (dyn.thr_new_obstacles, (0.0, 0.8, 0.8, 1.0))
+        assert ths[1] == (dyn.thr_sure_obstacles, (0.0, 0.7, 0.3, 1.0))
+        assert ths[2] == (dyn.thr_apriori, (0.0, 0.5, 0.0, 1.0))
+        # voxel_markers paints by highest exceeded threshold after sorting
+        from vofod_tpu.geometry import GridSpec
+
+        g = GridSpec((0, 0, 0), (3, 3, 3), 0.5)
+        vals = np.full((3, 3, 3), -740.0, np.float32)
+        vals[0, 0, 0] = -200.0  # new_obstacles band
+        vals[1, 1, 1] = 1.0  # above apriori
+        m = voxel_markers(vals, g, ths)
+        cols = {tuple(round(float(x), 3) for x in c) for c in m.colors}
+        assert (0.0, 0.8, 0.8, 1.0) in cols and (0.0, 0.5, 0.0, 1.0) in cols
+
+    def test_partial_yaml_overrides(self, tmp_path):
+        from vofod_tpu.runtime.viz import load_viz_config
+
+        p = tmp_path / "viz.yaml"
+        p.write_text(
+            "voxel_map:\n  colors:\n    candidates:\n      r: 0.5\n      g: 0.5\n"
+            "      b: 0.5\n      a: 0.5\n"
+        )
+        viz = load_viz_config(str(p))
+        assert viz.vmap["candidates"] == (0.5, 0.5, 0.5, 0.5)
+        # untouched entries keep the reference palette
+        assert viz.vmap["new_obstacles"] == (0.0, 0.8, 0.8, 1.0)
+
+
 class TestViz:
     def test_hsv(self):
         assert hsv_to_rgb(0, 1, 1) == (1, 0, 0)

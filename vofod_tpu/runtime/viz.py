@@ -12,9 +12,71 @@ viewers.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 import numpy as np
+
+RGBA = tuple[float, float, float, float]
+
+# Reference palette (config/visualization.yaml) — used when no file is given.
+_DEFAULT_VMAP_COLORS: dict[str, RGBA] = {
+    "new_obstacles": (0.0, 0.8, 0.8, 1.0),
+    "sure_obstacles": (0.0, 0.7, 0.3, 1.0),
+    "apriori_map": (0.0, 0.5, 0.0, 1.0),
+    "frontiers": (1.0, 0.0, 1.0, 0.3),
+    "candidates": (1.0, 0.0, 0.0, 0.8),
+}
+_DEFAULT_VFLAGS_COLORS: dict[str, RGBA] = {
+    "background": (0.0, 0.7, 0.3, 1.0),
+    "unknown": (0.1, 0.3, 0.7, 1.0),
+}
+
+
+@dataclass
+class VizColors:
+    """Marker palette, file-compatible with the reference's
+    config/visualization.yaml (param load: vofod_nodelet.cpp:184-191)."""
+
+    vmap: dict[str, RGBA] = field(default_factory=lambda: dict(_DEFAULT_VMAP_COLORS))
+    vflags: dict[str, RGBA] = field(
+        default_factory=lambda: dict(_DEFAULT_VFLAGS_COLORS)
+    )
+
+    def vmap_thresholds(self, dyn) -> list[tuple[float, RGBA]]:
+        """The voxel-map threshold→color bindings the reference registers each
+        marker publish (vofod_nodelet.cpp:1025-1027): the live thresholds of
+        the same names, colored from the palette.  ``voxel_markers`` sorts
+        ascending and paints each voxel with the highest threshold it exceeds,
+        matching VoxelMap::visualization (voxel_map.cpp:637-664)."""
+        return [
+            (float(dyn.thr_new_obstacles), self.vmap["new_obstacles"]),
+            (float(dyn.thr_sure_obstacles), self.vmap["sure_obstacles"]),
+            (float(dyn.thr_apriori), self.vmap["apriori_map"]),
+        ]
+
+
+def load_viz_config(path: str | None = None) -> VizColors:
+    """Parse a reference-format visualization.yaml; missing file or keys keep
+    the reference's shipped palette (defaults above)."""
+    out = VizColors()
+    if not path:
+        return out
+    import yaml
+
+    try:
+        with open(path) as f:
+            d = yaml.safe_load(f) or {}
+    except OSError:
+        return out
+    for section, dst in (("voxel_map", out.vmap), ("voxel_flags", out.vflags)):
+        for name, c in ((d.get(section) or {}).get("colors") or {}).items():
+            dst[name] = (
+                float(c.get("r", 0.0)),
+                float(c.get("g", 0.0)),
+                float(c.get("b", 0.0)),
+                float(c.get("a", 1.0)),
+            )
+    return out
 
 
 @dataclass

@@ -66,6 +66,11 @@ def main(argv=None):
         help="resume from a map snapshot (NPZ or Orbax dir)",
     )
     ap.add_argument("--markers", default="", help="write final markers NPZ")
+    ap.add_argument(
+        "--viz-config", default="",
+        help="visualization.yaml (reference format) for marker colors; "
+        "defaults to the reference palette",
+    )
     ap.add_argument("--json", action="store_true", help="JSON lines output")
     ap.add_argument(
         "--watch-params", default="",
@@ -187,28 +192,23 @@ def main(argv=None):
         from vofod_tpu.runtime.viz import (
             border_marker,
             frontier_markers,
+            load_viz_config,
             save_markers_npz,
             voxel_markers,
         )
 
+        viz = load_viz_config(args.viz_config or None)
         vals = np.asarray(node.state.grid)
         save_markers_npz(
             args.markers,
             [
-                voxel_markers(
-                    vals,
-                    node.grid_spec,
-                    [
-                        (float(node.dyn.thr_new_obstacles), (0, 0, 1, 0.6)),
-                        (float(node.dyn.thr_sure_obstacles), (0, 1, 0, 0.8)),
-                        (float(node.dyn.thr_apriori), (1, 0, 0, 1.0)),
-                    ],
-                ),
+                voxel_markers(vals, node.grid_spec, viz.vmap_thresholds(node.dyn)),
                 frontier_markers(
                     vals,
                     node.grid_spec,
                     float(node.dyn.thr_frontiers),
                     float(node.dyn.thr_new_obstacles),
+                    color=viz.vmap["frontiers"],
                 ),
                 border_marker(node.grid_spec),
             ],
