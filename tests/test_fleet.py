@@ -51,6 +51,21 @@ def test_fleet_end_to_end_detects_per_stream():
     for b in range(4, 8):
         assert len(msgs[b].detections) == 0, f"stream {b}"
 
+    # multi-host entry point: single-process it must cover every stream and
+    # agree with process_scans' view of the same (advanced-by-one) sequence
+    assert fleet.local_streams == list(range(8))
+    local = fleet.process_local_scans(mixed, poses, stamp=1.0)
+    assert sorted(local) == list(range(8))
+    for b in range(4):
+        assert len(local[b].detections) == 1, f"stream {b} (local)"
+        pos = np.array(local[b].detections[0].position)
+        assert np.linalg.norm(pos - [6.0, 0.0, 5.0]) < 1.0
+        # ids keep counting monotonically from the process_scans ticks
+        assert local[b].detections[0].id == msgs[b].detections[0].id + 1
+    for b in range(4, 8):
+        assert len(local[b].detections) == 0, f"stream {b} (local)"
+    assert local[0].header.frame_id == "stream0"
+
 
 def test_voxel_grid_counted_matches_oracle(rng):
     pts = rng.uniform(0, 8, size=(300, 3)).astype(np.float32)

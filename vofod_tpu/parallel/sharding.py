@@ -49,13 +49,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
 def init_batched_state(
     cfg: VoFODConfig, dyn: DynParams, batch: int, mesh: Mesh, axis: str = "data"
 ) -> VoFODState:
-    """One detector state per stream, sharded over the mesh."""
-    s0 = init_state(cfg, dyn)
-    batched = jax.tree.map(
-        lambda x: jnp.broadcast_to(x, (batch,) + x.shape), s0
-    )
+    """One detector state per stream, sharded over the mesh.
+
+    Built by a jitted initializer with explicit out_shardings (not a host
+    broadcast + device_put), so it works unchanged on a multi-host mesh where
+    this process cannot address every device: each host materializes only its
+    local shards.
+    """
     sharding = NamedSharding(mesh, P(axis))
-    return jax.tree.map(lambda x: jax.device_put(x, sharding), batched)
+
+    def _init() -> VoFODState:
+        s0 = init_state(cfg, dyn)
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), s0)
+
+    return jax.jit(_init, out_shardings=sharding)()
 
 
 def make_batched_step(

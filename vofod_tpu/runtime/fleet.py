@@ -11,6 +11,27 @@ This replaces (and massively widens) the reference's N pointcloud_loop worker
 threads over one shared map (vofod_nodelet.cpp:1324-1328) — the reference
 parallelizes scans of ONE sensor into one map, the fleet parallelizes whole
 detectors.
+
+Multi-host serving (pod slices spanning several hosts)
+------------------------------------------------------
+JAX multi-host is SPMD: every host runs this same program over one global
+mesh and only feeds/fetches the shards its local chips own.  The runbook:
+
+1. on every host: ``initialize_multihost(coordinator, num_processes,
+   process_id)`` (before any other JAX call), then build the SAME
+   ``FleetVoFOD(cfg, dyn, n_streams=...)`` — ``make_mesh()`` spans the
+   global device list, and state init materializes local shards only.
+2. each host attaches its own sensors to its local streams
+   (:attr:`FleetVoFOD.local_streams`) and calls
+   :meth:`process_local_scans` with ONLY those streams' scans each tick
+   (every host must call it — it is one global SPMD dispatch); detections
+   come back for the local streams only.  ``dyn`` updates must be applied
+   identically on every host (ship the YAML, see runtime/param_watch.py).
+
+Single-host, ``process_local_scans`` degenerates to :meth:`process_scans`
+with a dict return — the 8-device CPU mesh tests drive exactly the
+multi-host code path (make_array_from_process_local_data + per-shard
+fetch), which is what makes the pod-slice story testable without a pod.
 """
 
 from __future__ import annotations
@@ -29,6 +50,21 @@ from vofod_tpu.parallel.sharding import (
 )
 from vofod_tpu.pipeline.state import ScanInput
 from vofod_tpu.sensor import make_lut
+
+
+def initialize_multihost(
+    coordinator_address: str, num_processes: int, process_id: int, **kw
+) -> None:
+    """Join a multi-host fleet (call before any other JAX API, on every host).
+
+    Thin wrapper over ``jax.distributed.initialize`` so the serving entry
+    point doesn't need to import jax directly; after it returns,
+    ``jax.devices()`` spans the whole slice and ``make_mesh()`` builds the
+    global mesh every host must share.
+    """
+    jax.distributed.initialize(
+        coordinator_address, num_processes=num_processes, process_id=process_id, **kw
+    )
 
 
 class FleetVoFOD:
@@ -53,6 +89,72 @@ class FleetVoFOD:
         self._step = make_batched_step(self.cfg, self.lut, self.mesh, **step_kw)
         self.state = init_batched_state(self.cfg, self.dyn, self.n_streams, self.mesh)
         self.last_diag = None
+        self._apriori_upd = None
+
+    @property
+    def local_streams(self) -> list[int]:
+        """Global stream indices whose state lives on this process's chips.
+
+        Single-host this is every stream; on a multi-host mesh each host sees
+        its own contiguous block (the "data"-axis shards it can address).
+        """
+        rows: set[int] = set()
+        for s in self.state.grid.addressable_shards:
+            sl = s.index[0]
+            stop = self.n_streams if sl.stop is None else sl.stop
+            rows.update(range(sl.start or 0, stop))
+        return sorted(rows)
+
+    def process_local_scans(
+        self,
+        ranges_mm: np.ndarray,
+        poses: np.ndarray,
+        stamp: float = 0.0,
+        intensity: np.ndarray | None = None,
+    ) -> dict[int, Detections]:
+        """Multi-host entry point: feed ONLY this host's streams, in
+        :attr:`local_streams` order; returns ``{global stream id: Detections}``
+        for those streams.
+
+        Every host must call this each tick — it is one global SPMD dispatch
+        assembled with ``jax.make_array_from_process_local_data``.  Single
+        host it is equivalent to :meth:`process_scans` with a dict return.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        local = self.local_streams
+        Bl, B = len(local), self.n_streams
+        n_pts = self.cfg.sensor.n_points
+        sharding = NamedSharding(self.mesh, P("data"))
+
+        def dist(x, shape):
+            return jax.make_array_from_process_local_data(
+                sharding, np.ascontiguousarray(x), shape
+            )
+
+        r = np.asarray(ranges_mm, np.float32).reshape(Bl, n_pts)
+        i = (
+            np.ones((Bl, n_pts), np.float32)
+            if intensity is None
+            else np.asarray(intensity, np.float32).reshape(Bl, n_pts)
+        )
+        p = np.asarray(poses, np.float32).reshape(Bl, 4, 4)
+        scans = ScanInput(
+            ranges_mm=dist(r, (B, n_pts)),
+            intensity=dist(i, (B, n_pts)),
+            pose=dist(p, (B, 4, 4)),
+        )
+        self.state, out = self._step(self.state, scans, self.dyn.as_arrays())
+        ids = None
+        arrs = {}
+        for name, leaf in zip(out.detections._fields, out.detections):
+            ids, arrs[name] = _host_local_rows(leaf, B)
+        self.last_diag = jax.tree.map(
+            lambda a: _host_local_rows(a, B)[1], out.diag
+        )
+        return {
+            b: _row_to_msg(arrs, li, b, stamp) for li, b in enumerate(ids)
+        }
 
     def process_scans(
         self, ranges_mm: np.ndarray, poses: np.ndarray, stamp: float = 0.0
@@ -70,31 +172,18 @@ class FleetVoFOD:
         self.state, out = self._step(self.state, scans, self.dyn.as_arrays())
         d = jax.device_get(out.detections)
         self.last_diag = jax.device_get(out.diag)
-        msgs = []
-        for b in range(B):
-            msg = Detections(header=Header(stamp, f"stream{b}"))
-            for k in range(d.valid.shape[1]):
-                if not d.valid[b, k]:
-                    continue
-                msg.detections.append(
-                    Detection(
-                        id=int(d.id[b, k]),
-                        confidence=float(d.confidence[b, k]),
-                        n_points=int(d.n_points[b, k]),
-                        position=tuple(float(v) for v in d.position[b, k]),
-                        covariance=tuple(
-                            float(v) for v in d.covariance[b, k].reshape(-1)
-                        ),
-                        detection_probability=float(
-                            d.detection_probability[b, k]
-                        ),
-                    )
-                )
-            msgs.append(msg)
-        return msgs
+        arrs = {name: np.asarray(leaf) for name, leaf in zip(d._fields, d)}
+        return [_row_to_msg(arrs, b, b, stamp) for b in range(B)]
 
     def load_apriori_map(self, points_xyz: np.ndarray, stream: int | None = None):
-        """Stamp an apriori cloud into one stream's map (or all streams)."""
+        """Stamp an apriori cloud into one stream's map (or all streams).
+
+        Runs as a jitted masked write on the sharded grid (no host round-trip
+        of the state), so it works on a multi-host mesh too — call it with the
+        same cloud on every host.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
         g = self.grid_spec
         pts = np.asarray(points_xyz, np.float32)
         ox, oy, oz = g.origin
@@ -105,14 +194,63 @@ class FleetVoFOD:
             & (idx[:, 2] >= 0) & (idx[:, 2] < g.nz)
         )
         idx = idx[ok]
-        vals = np.array(self.state.grid)
-        streams = range(self.n_streams) if stream is None else [stream]
-        for b in streams:
-            vals[b, idx[:, 2], idx[:, 1], idx[:, 0]] = np.inf
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        mask = np.zeros(self.cfg.grid_shape, bool)
+        mask[idx[:, 2], idx[:, 1], idx[:, 0]] = True
+        sel = np.zeros((self.n_streams,), bool)
+        sel[np.arange(self.n_streams) if stream is None else [stream]] = True
+        if self._apriori_upd is None:
+            sharding = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
 
-        sharded = jax.device_put(
-            jnp.asarray(vals), NamedSharding(self.mesh, P("data"))
+            def _upd(grid, m, s):
+                return jnp.where(s[:, None, None, None] & m[None], jnp.inf, grid)
+
+            upd = jax.jit(_upd, out_shardings=sharding, donate_argnums=(0,))
+            self._apriori_upd = lambda grid, m, s: upd(
+                grid,
+                jax.make_array_from_process_local_data(rep, m),
+                jax.make_array_from_process_local_data(rep, s),
+            )
+        self.state = self.state._replace(
+            grid=self._apriori_upd(self.state.grid, mask, sel)
         )
-        self.state = self.state._replace(grid=sharded)
         return int(idx.shape[0])
+
+
+def _host_local_rows(arr, n_rows: int) -> tuple[list[int], np.ndarray]:
+    """(global row ids, concatenated host-local rows) of a [B, ...] sharded
+    array — the per-host view of a "data"-sharded batch."""
+    shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
+    ids: list[int] = []
+    blocks = []
+    for s in shards:
+        sl = s.index[0]
+        stop = n_rows if sl.stop is None else sl.stop
+        ids.extend(range(sl.start or 0, stop))
+        blocks.append(np.asarray(s.data))
+    return ids, np.concatenate(blocks, axis=0)
+
+
+def _row_to_msg(
+    arrs: dict[str, np.ndarray], row: int, stream: int, stamp: float
+) -> Detections:
+    """Detections message for one stream's row of the batched step output."""
+    msg = Detections(header=Header(stamp, f"stream{stream}"))
+    for k in range(arrs["valid"].shape[1]):
+        if not arrs["valid"][row, k]:
+            continue
+        msg.detections.append(
+            Detection(
+                id=int(arrs["id"][row, k]),
+                confidence=float(arrs["confidence"][row, k]),
+                n_points=int(arrs["n_points"][row, k]),
+                position=tuple(float(v) for v in arrs["position"][row, k]),
+                covariance=tuple(
+                    float(v) for v in arrs["covariance"][row, k].reshape(-1)
+                ),
+                detection_probability=float(
+                    arrs["detection_probability"][row, k]
+                ),
+            )
+        )
+    return msg
