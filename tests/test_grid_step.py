@@ -56,7 +56,13 @@ def mesh():
 
 
 class TestShardedPrimitives:
-    def test_sweep_zsharded_matches(self, rng, mesh):
+    # transpose mode: ny=33 doesn't divide 8 shards, so the pinned-pad-row
+    # path is exercised; bound=5.0 adds the windowed crop on top
+    @pytest.mark.parametrize(
+        "zcone_mode,bound",
+        [("pipelined", None), ("transpose", None), ("transpose", 5.0)],
+    )
+    def test_sweep_zsharded_matches(self, rng, mesh, zcone_mode, bound):
         cfg = sharded_config()
         from vofod_tpu.geometry import GridSpec
 
@@ -65,14 +71,15 @@ class TestShardedPrimitives:
         origin = jnp.asarray([1.0, -2.0, 9.0], jnp.float32)
         rot = jnp.eye(3, dtype=jnp.float32)
         kw = dict(
-            max_distance=jnp.float32(20.0),
+            max_distance=jnp.float32(bound if bound is not None else 20.0),
             vertical_fov=cfg.sensor.vertical_fov,
             v_rays=cfg.sensor.vertical_rays,
             h_rays=cfg.sensor.horizontal_rays,
+            max_distance_bound=bound,
         )
         want = raycast_sweep(grid, blockers, origin, rot, **kw)
 
-        ops = ZShardOps("grid", 8)
+        ops = ZShardOps("grid", 8, zcone_mode=zcone_mode)
 
         def body(b):
             return ops.raycast_sweep(grid, b, origin, rot, **kw)
@@ -85,6 +92,10 @@ class TestShardedPrimitives:
             check_vma=False,
         )(blockers)
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+    def test_bad_zcone_mode_raises(self):
+        with pytest.raises(ValueError, match="zcone_mode"):
+            ZShardOps("grid", 8, zcone_mode="bogus")
 
     def test_compact_merge_matches(self, rng, mesh):
         mask = jnp.asarray(rng.random((32, 12, 12)) < 0.05)

@@ -247,14 +247,18 @@ def _sweep_cones(opaq_sc: Array, rel_s: Array, rel_a: Array, rel_b: Array) -> Ar
 
 def _sweep_cones_lat_sharded(
     opaq_sc: Array, rel_s: Array, rel_a_loc: Array, rel_b: Array,
-    axis: str, n: int,
+    axis: str, n: int, pin_rows: Array | None = None,
 ) -> Array:
     """:func:`_sweep_cones` with the lateral A axis sharded over mesh axis
     ``axis`` (grid-sharded x/y cones: A = the Z grid axis).  Per plane step
     the post-B-lerp carry exchanges its A-halo rows (1 low, 2 high — the
     4-tap support) with the neighbor shards over ICI; global edges fill 1.0
     exactly like :func:`_shifted`.  Arithmetic per interior element is
-    identical to the unsharded scan.  Must run inside shard_map."""
+    identical to the unsharded scan.  Must run inside shard_map.
+
+    ``pin_rows`` (optional bool [nAl]): local A rows held at carry T=1.0
+    after every step — alignment padding rows behave exactly like the edge
+    fill beyond the true lateral extent (used by the transposed z cones)."""
     C, nAl, nB = opaq_sc.shape[1], opaq_sc.shape[2], opaq_sc.shape[3]
     assert nAl >= 2, "lateral shard must hold >= 2 rows for the 4-tap halo"
 
@@ -274,6 +278,10 @@ def _sweep_cones_lat_sharded(
             + wbr[..., 2] * _shifted(carry, 1, 2)
             + wbr[..., 3] * _shifted(carry, 2, 2)
         )
+        if pin_rows is not None:
+            # pad rows read as EXACTLY the 1.0 edge fill of _shifted — pin
+            # the post-B-lerp plane the A-taps (and halo sends) consume
+            q = jnp.where(pin_rows[None, :, None], jnp.bfloat16(1.0), q)
         last1 = lax.ppermute(q[:, nAl - 1 : nAl, :], axis, perm_up)
         first2 = lax.ppermute(q[:, :2, :], axis, perm_dn)
         lo = jnp.where(my > 0, last1, jnp.ones_like(q[:, :1, :]))
@@ -295,6 +303,59 @@ def _sweep_cones_lat_sharded(
         step, init, (opaq_sc.astype(jnp.bfloat16), wa, wb, seed), unroll=8
     )
     return t.astype(jnp.float32)
+
+
+def _sweep_cones_z_transposed(
+    op: Array, rel_z_global: Array, rel_a: Array, rel_b: Array,
+    axis: str, n: int,
+) -> Array:
+    """Both z cones with the grid transposed to LATERAL(Y)-sharded via
+    all_to_all, instead of sweep-sharded/pipelined: each shard sweeps all nz
+    planes over a 1/n-wide y slab, so per-shard FLOPs drop n× relative to
+    :func:`_sweep_cones_z_pipelined` (which replays the full-plane scan n
+    times and keeps one round per shard).  Two volume all_to_alls (bf16, over
+    ICI) bracket the scan; wall-clock keeps the inherent nz sequential plane
+    steps but each step touches 1/n of the plane.
+
+    When the (windowed) y extent doesn't divide n, alignment pad rows are
+    pinned to carry T=1.0 every step — exactly the :func:`_shifted` edge
+    fill beyond the true extent — so the result is bit-identical to the
+    unsharded z-cone sweep.  Must run inside shard_map.
+
+    Args: ``op`` local (nzl, ny, nx) opacity slab; ``rel_z_global`` [nz]
+    GLOBAL sweep offsets; ``rel_a`` [ny] lateral y offsets; ``rel_b`` [nx].
+    Returns: [nzl, 2, ny, nx] local z-slab transmittance (cone 0 ascending,
+    cone 1 stored reversed like :func:`_sweep_cones`' z output).
+    """
+    nzl, ny, nx = op.shape
+    ny_pad = ((ny + n - 1) // n) * n
+    if ny_pad != ny:
+        op = jnp.pad(op, ((0, 0), (0, ny_pad - ny), (0, 0)))
+        tail = rel_a[-1] + jnp.arange(1, ny_pad - ny + 1, dtype=rel_a.dtype)
+        rel_a = jnp.concatenate([rel_a, tail])
+    nyl = ny_pad // n
+    # local slab -> all planes of a 1/n y slab (blocks arrive in shard order,
+    # so axis 0 is globally-ascending z)
+    g = lax.all_to_all(op, axis, split_axis=1, concat_axis=0, tiled=True)
+    my = lax.axis_index(axis)
+    ra_loc = lax.dynamic_slice_in_dim(rel_a, my * nyl, nyl)
+    pin = (my * nyl + jnp.arange(nyl)) >= ny
+
+    planes = jnp.stack([g, g[::-1]], axis=1)  # [nz, 2, nyl, nx]
+    rs = jnp.stack([rel_z_global, -rel_z_global[::-1]], axis=1)
+    ra = jnp.broadcast_to(ra_loc[None, :], (2, nyl))
+    rb = jnp.broadcast_to(rel_b[None, :], (2, nx))
+    t = _sweep_cones_lat_sharded(planes, rs, ra, rb, axis, n, pin_rows=pin)
+    # back to z-sharded: cone 0's scan rows ARE ascending global z; cone 1
+    # swept reversed planes, so flip to ascending first and re-reverse
+    # locally after the transpose (the caller indexes t_z[::-1, 1] on the
+    # local slab, matching the pipelined/unsharded layout)
+    t0 = lax.all_to_all(t[:, 0], axis, split_axis=0, concat_axis=1, tiled=True)
+    t1 = lax.all_to_all(
+        t[::-1, 1], axis, split_axis=0, concat_axis=1, tiled=True
+    )
+    out = jnp.stack([t0, t1[::-1]], axis=1)  # [nzl, 2, ny_pad, nx]
+    return out[:, :, :ny, :]
 
 
 def _sweep_cones_z_pipelined(
@@ -772,15 +833,20 @@ def raycast_sweep_zsharded(
     max_distance_bound: float | None = None,
     axis: str,
     n_shards: int,
+    zcone_mode: str = "pipelined",
 ) -> Array:
     """:func:`raycast_sweep` over a grid Z-sharded across ``n_shards`` mesh
     devices (``opaque`` is the local (nz/n, ny, nx) slab; must run inside
     shard_map).  The x/y cone group runs lateral-sharded (per-plane carry
     halos over ICI, :func:`_sweep_cones_lat_sharded`); the z cone group runs
-    sweep-sharded/pipelined (:func:`_sweep_cones_z_pipelined`).  Outputs
-    match the unsharded sweep bit-for-bit (tests/test_grid_step.py) —
-    including the static x/y window around the sensor (window offsets are
-    replicated; only unsharded axes are cropped)."""
+    per ``zcone_mode``: ``"pipelined"`` = sweep-sharded rounds
+    (:func:`_sweep_cones_z_pipelined` — compute replicated n×, minimal ICI),
+    ``"transpose"`` = all_to_all to lateral(Y)-sharded and back
+    (:func:`_sweep_cones_z_transposed` — per-shard FLOPs 1/n, two bf16
+    volume all_to_alls).  Both modes match the unsharded sweep bit-for-bit
+    (tests/test_grid_step.py) — including the static x/y window around the
+    sensor (window offsets are replicated; only unsharded axes are
+    cropped)."""
     nz, ny, nx = grid.shape  # GLOBAL
     nzl = opaque.shape[0]
     vs = grid.voxel_size
@@ -793,6 +859,8 @@ def raycast_sweep_zsharded(
     rel_z = (
         jnp.arange(nzl, dtype=jnp.float32) + z0.astype(jnp.float32) + 0.5 - gz
     )
+    # global sweep offsets for the transposed z-cone mode (z is never cropped)
+    rel_z_g = jnp.arange(nz, dtype=jnp.float32) + 0.5 - gz
 
     wx, wy = _window_sizes(nx, ny, vs, max_distance_bound)
     if (wx, wy) != (nx, ny):
@@ -808,8 +876,9 @@ def raycast_sweep_zsharded(
             + 0.5 - gy
         )
         raylen_w = _sweep_frame_zsharded(
-            vs, op_w, rel_x, rel_y, rel_z, rot_s2w, gate,
+            vs, op_w, rel_x, rel_y, rel_z, rel_z_g, rot_s2w, gate,
             max_distance, vertical_fov, v_rays, h_rays, axis, n_shards,
+            zcone_mode,
         )
         return lax.dynamic_update_slice(
             jnp.zeros((nzl, ny, nx), jnp.float32), raylen_w, (0, y0, x0)
@@ -818,14 +887,15 @@ def raycast_sweep_zsharded(
     rel_x = jnp.arange(nx, dtype=jnp.float32) + 0.5 - gx
     rel_y = jnp.arange(ny, dtype=jnp.float32) + 0.5 - gy
     return _sweep_frame_zsharded(
-        vs, opaque, rel_x, rel_y, rel_z, rot_s2w, gate,
+        vs, opaque, rel_x, rel_y, rel_z, rel_z_g, rot_s2w, gate,
         max_distance, vertical_fov, v_rays, h_rays, axis, n_shards,
+        zcone_mode,
     )
 
 
 def _sweep_frame_zsharded(
-    vs, opaque, rel_x, rel_y, rel_z, rot_s2w, gate,
-    max_distance, vertical_fov, v_rays, h_rays, axis, n_shards,
+    vs, opaque, rel_x, rel_y, rel_z, rel_z_global, rot_s2w, gate,
+    max_distance, vertical_fov, v_rays, h_rays, axis, n_shards, zcone_mode,
 ):
     """The six Z-sharded cone sweeps + assembly on one (windowed) frame."""
     nzl, ny, nx = opaque.shape
@@ -885,12 +955,19 @@ def _sweep_frame_zsharded(
     ty_f = jnp.moveaxis(t_a[:ny, 2, :, :nx], 0, 1)
     ty_b = jnp.moveaxis(t_a[:ny, 3, :, :nx][::-1], 0, 1)
 
-    # --- z cones: sweep axis sharded, pipelined over shards ------------------
-    planes_z = jnp.stack([op, op[::-1]], axis=1)  # [nzl, 2, ny, nx]
+    # --- z cones: sweep-sharded/pipelined, or transposed to lateral-sharded --
     rs_z = jnp.stack([rel_z, -rel_z[::-1]], axis=1)
     ra_z = jnp.broadcast_to(rel_y[None, :], (2, ny))
     rb_z = jnp.broadcast_to(rel_x[None, :], (2, nx))
-    t_z = _sweep_cones_z_pipelined(planes_z, rs_z, ra_z, rb_z, axis, n_shards)
+    if zcone_mode == "transpose":
+        t_z = _sweep_cones_z_transposed(
+            op, rel_z_global, rel_y, rel_x, axis, n_shards
+        )
+    else:
+        planes_z = jnp.stack([op, op[::-1]], axis=1)  # [nzl, 2, ny, nx]
+        t_z = _sweep_cones_z_pipelined(
+            planes_z, rs_z, ra_z, rb_z, axis, n_shards
+        )
     if gate is not None:
         t_z = t_z * _expand_gate(gate[4:], rs_z, ra_z, rb_z)
     tz_f, tz_b = t_z[:, 0], t_z[::-1, 1]

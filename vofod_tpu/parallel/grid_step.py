@@ -97,6 +97,7 @@ def make_grid_sharded_step(
     lut: XyzLut,
     mesh: Mesh,
     axis: str = "grid",
+    zcone_mode: str = "pipelined",
     **step_kw,
 ):
     """Build the jitted Z-sharded step (same signature as make_step_fn's
@@ -106,6 +107,14 @@ def make_grid_sharded_step(
     Requires ``nz % mesh.shape[axis] == 0`` (pad the operation-area height to
     a multiple — the extra planes are inert) and a shard height of at least
     2 planes for the sweep's lateral halo taps.
+
+    ``zcone_mode`` selects the sweep raycast's z-cone strategy (bit-identical
+    results either way, ops/raycast.py raycast_sweep_zsharded): "pipelined"
+    replays the full-plane scan once per shard (minimal ICI, compute
+    replicated n×); "transpose" all_to_alls the cone volume to
+    lateral-sharded and back so per-shard z-cone FLOPs drop n× — prefer it
+    once n is large enough that the replicated full-plane z scan rivals the
+    sharded x/y group's per-shard work (n ≳ 3 on the flagship geometry).
     """
     n = int(mesh.shape[axis])
     nz, _, _ = cfg.grid_shape
@@ -141,7 +150,7 @@ def make_grid_sharded_step(
                 "single-chip only; run the quirked census unsharded"
             )
 
-    ops = ZShardOps(axis, n)
+    ops = ZShardOps(axis, n, zcone_mode=zcone_mode)
     step = make_step_fn(
         cfg, lut, donate=False, jit=False, ops=ops, **step_kw
     )

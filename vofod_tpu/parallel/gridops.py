@@ -181,10 +181,13 @@ class ZShardOps:
 
     is_sharded = True
 
-    def __init__(self, axis: str, n: int):
+    def __init__(self, axis: str, n: int, zcone_mode: str = "pipelined"):
+        if zcone_mode not in ("pipelined", "transpose"):
+            raise ValueError(f"unknown zcone_mode {zcone_mode!r}")
         self.axis = axis
         self.n = n
-        self.cache_key = ("zshard", axis, n)
+        self.zcone_mode = zcone_mode
+        self.cache_key = ("zshard", axis, n, zcone_mode)
 
     # ---- shard topology helpers ----------------------------------------------
     def _z0_rows(self, nzl: int) -> Array:
@@ -514,7 +517,8 @@ class ZShardOps:
     # ---- raycast -----------------------------------------------------------------------------
     def raycast_sweep(self, grid, opaque, origin, rot, **kw):
         return raycast_sweep_zsharded(
-            grid, opaque, origin, rot, axis=self.axis, n_shards=self.n, **kw
+            grid, opaque, origin, rot, axis=self.axis, n_shards=self.n,
+            zcone_mode=self.zcone_mode, **kw
         )
 
     def raycast_dda(self, grid, starts, dirs, lengths, valid, max_length):
