@@ -405,10 +405,24 @@ class TestGridShardedStep:
                     )
         assert int(jnp.sum(ref_out.detections.valid)) >= 1
 
-    def test_quirk_census_unsupported_sharded(self, mesh):
-        cfg = sharded_config(
-            sepclusters_exact_census=True, compat_counted_indexing=True
+    @pytest.mark.parametrize("lsz", [1, 2])
+    def test_quirk_census_sharded_matches(self, rng, mesh, lsz):
+        """The counted-indexing quirk census composes with Z-sharding:
+        global export ranks from gathered block sums + psum-merged rank
+        table must reproduce the unsharded quirk bit-for-bit."""
+        from vofod_tpu.pipeline.sepclusters import (
+            _quirk_sure_counts,
+            _quirk_sure_counts_sharded,
         )
-        lut = make_lut(cfg.sensor)
-        with pytest.raises(NotImplementedError, match="counted_indexing"):
-            make_grid_sharded_step(cfg, lut, mesh)
+
+        bg = jnp.asarray(rng.random((32, 9, 11)) < 0.3)
+        sure = jnp.asarray(rng.random((32, 9, 11)) < 0.5) & bg
+        want = _quirk_sure_counts(bg, sure, lsz)
+        got = shard_map(
+            lambda b, s: _quirk_sure_counts_sharded(b, s, lsz, "grid", 8),
+            mesh=mesh,
+            in_specs=(P("grid", None, None), P("grid", None, None)),
+            out_specs=P("grid", None, None),
+            check_vma=False,
+        )(bg, sure)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -144,11 +144,9 @@ def make_grid_sharded_step(
                 f"exact-census coarse leaf {lsz} must divide the shard "
                 f"height {nz // n} (pad the operation-area height)"
             )
-        if cfg.compat_counted_indexing:
-            raise NotImplementedError(
-                "compat_counted_indexing (global export-order quirk) is "
-                "single-chip only; run the quirked census unsharded"
-            )
+        # compat_counted_indexing composes (pipeline/sepclusters.py
+        # _quirk_sure_counts_sharded) — it replicates one int32 rank table
+        # of the full grid size, a documented parity-mode cost
 
     ops = ZShardOps(axis, n, zcone_mode=zcone_mode)
     step = make_step_fn(

@@ -244,6 +244,64 @@ def _quirk_sure_counts(bg: Array, sure: Array, lsz: int) -> Array:
     return jnp.where(cf > 0, quirk, 0).reshape(counts_c.shape)
 
 
+def _quirk_sure_counts_sharded(
+    bg_l: Array, sure_l: Array, lsz: int, axis: str, n: int
+) -> Array:
+    """:func:`_quirk_sure_counts` on a Z-sharded grid (local slabs, inside
+    shard_map) — the quirk's export order (x outer, z fastest,
+    voxel_map.cpp:190-196) interleaves every shard's rows within each (x, y)
+    run, so global export positions/ranks are reconstructed from gathered
+    per-(x, y) block sums plus local z prefixes; the rank→sure-prefix table
+    ``u`` is then assembled by a psum of disjoint shard scatters (each shard
+    writes only its own voxels' ranks) and the per-cell rank-range queries
+    stay shard-local (cells are shard-owned).  Bit-identical to the
+    unsharded quirk.
+
+    Memory note: ``u`` is a replicated int32 array of the FULL grid's voxel
+    count — same footprint as the unsharded quirk table, so this parity
+    instrument does not enjoy the sharded step's 1/n state scaling (the
+    spec-correct census, the default, has no such cost)."""
+    from jax import lax
+
+    nzl, ny, nx = bg_l.shape
+    nz = nzl * n
+    nv = nz * ny * nx
+    my = lax.axis_index(axis)
+    sel_below = (jnp.arange(n) < my)[:, None, None]
+
+    def global_prefix(a_i32):
+        """(inclusive global prefix at local positions) for a per-voxel int
+        field summed in export order."""
+        c = jnp.cumsum(a_i32, axis=0)  # inclusive over local z, per (y, x)
+        blocks = lax.all_gather(c[-1], axis)  # [n, ny, nx] per-shard totals
+        below = jnp.sum(jnp.where(sel_below, blocks, 0), axis=0)
+        btot = blocks.sum(axis=0)  # [ny, nx]
+        # exclusive prefix over (x, y) blocks in export order (x outer)
+        flat = btot.T.reshape(-1)
+        excl = (jnp.cumsum(flat) - flat).reshape(nx, ny).T
+        return (excl + below)[None] + c
+
+    t = global_prefix((sure_l & bg_l).astype(jnp.int32))
+    rank = global_prefix(bg_l.astype(jnp.int32))  # 1-based at bg positions
+
+    u_part = (
+        jnp.zeros((nv + 2,), jnp.int32)
+        .at[jnp.where(bg_l, rank, nv + 1).reshape(-1)]
+        .set(t.reshape(-1), mode="drop")
+    )
+    u = lax.psum(u_part, axis)  # ranks are disjoint across shards
+
+    counts_c = _pool_sum_coarse(bg_l.astype(jnp.int32), lsz)
+    cf = counts_c.reshape(-1)  # z-major cells: shard-contiguous globally
+    offs = lax.all_gather(cf.sum(), axis)
+    first = (
+        jnp.cumsum(cf) - cf
+        + jnp.sum(jnp.where(jnp.arange(n) < my, offs, 0))
+    )
+    quirk = u[first + cf] - u[first]
+    return jnp.where(cf > 0, quirk, 0).reshape(counts_c.shape)
+
+
 def run_sepclusters_exact(
     cfg: VoFODConfig,
     dyn: DynParams,
@@ -264,8 +322,9 @@ def run_sepclusters_exact(
     make_grid_sharded_step), labels/census/demotion route through the
     provider's halo'd pools + psum'd census; results match the unsharded
     path bit-for-bit so parity studies run at beyond-HBM scale.  The
-    counted-indexing quirk needs a global export-order prefix sum and stays
-    single-chip.
+    counted-indexing quirk composes too (:func:`_quirk_sure_counts_sharded`)
+    at the cost of one replicated full-grid-sized rank table (see its
+    memory note).
     """
     max_dist_idx = cfg.sepclusters_max_bg_distance / cfg.voxel_size
     mv = math.ceil(max_dist_idx)  # max_voxel_dist (ref :1143)
@@ -279,11 +338,9 @@ def run_sepclusters_exact(
     counts_c = _pool_sum_coarse(bg.astype(jnp.int32), lsz)
     if cfg.compat_counted_indexing:
         if ops.is_sharded:
-            raise NotImplementedError(
-                "compat_counted_indexing needs a global export-order prefix "
-                "sum; run the quirked census unsharded"
-            )
-        sure_c = _quirk_sure_counts(bg, sure, lsz)
+            sure_c = _quirk_sure_counts_sharded(bg, sure, lsz, ops.axis, ops.n)
+        else:
+            sure_c = _quirk_sure_counts(bg, sure, lsz)
     else:
         sure_c = _pool_sum_coarse((bg & sure).astype(jnp.int32), lsz)
     occ_c = counts_c > 0
