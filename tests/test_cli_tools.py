@@ -64,6 +64,43 @@ def test_detect_cli(tmp_path, capsys, monkeypatch):
     assert os.path.exists(state) and os.path.exists(markers)
 
 
+def test_serve_fleet_cli(tmp_path, capsys):
+    """Fleet serving entry point: 8 streams (one per virtual device) fed
+    from a recording, two lockstep ticks, stats on stderr."""
+    from vofod_tpu.tools.serve_fleet import main
+
+    scans = _record(tmp_path, n=6)
+    cfgy = str(tmp_path / "det.yaml")
+    with open(cfgy, "w") as f:
+        f.write(
+            "voxel_map: {voxel_size: 0.5}\n"
+            "background_sufficient_points_ratio: 0.05\n"
+        )
+    seny = str(tmp_path / "sen.yaml")
+    with open(seny, "w") as f:
+        f.write(
+            "sensor: {vertical_fov_angle: 90.0, vertical_rays: 8, "
+            "horizontal_rays: 32}\n"
+        )
+    mapy = str(tmp_path / "map.yaml")
+    with open(mapy, "w") as f:
+        f.write(
+            "operation_area:\n"
+            "  offset: {x: 0.0, y: 0.0, z: -1.0}\n"
+            "  size: {x: 10.0, y: 10.0, z: 10.0}\n"
+        )
+    rc = main(
+        [
+            "--streams", "8", "--scans", scans, "--ticks", "2", "--loop",
+            "--rate", "200", "--config", cfgy, "--sensor", seny,
+            "--map", mapy, "--small-capacities", "--json",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "2 ticks x 8 local streams" in err
+
+
 def test_create_mask_cli(tmp_path, capsys):
     from vofod_tpu.tools.create_mask import main
 
