@@ -152,7 +152,7 @@ def main():
         for i in range(24):
             bstate, out = bstep(bstate, bscans[i % len(bscans)], dyn)
         jax.block_until_ready(bstate)
-        n_iter, n_rounds = 48, 4
+        n_iter, n_rounds = 48, 8
         best = float("inf")
         for _ in range(n_rounds):
             t0 = time.perf_counter()
@@ -181,7 +181,7 @@ def main():
     # several rounds, best wins: the measurement path to the device is a
     # shared tunnel with bursty latency, and the detector itself is
     # steady-state periodic — min round time is the honest throughput
-    n_iter, n_rounds = 48, 4
+    n_iter, n_rounds = 48, 8
     best = float("inf")
     for _ in range(n_rounds):
         t0 = time.perf_counter()
