@@ -405,6 +405,57 @@ class TestGridShardedStep:
                     )
         assert int(jnp.sum(ref_out.detections.valid)) >= 1
 
+    def test_dynamic_radii_bitexact_vs_dense(self, mesh):
+        """cfg.dynamic_radii composes with the grid-sharded step: the traced
+        pools halo at the STATIC bound and gate taps by the traced r², so
+        changing both stencil radii between steps (a) matches the dense
+        dynamic-radii step bit-for-bit on the state grids and (b) reuses the
+        one compiled sharded executable (no retrace)."""
+        import dataclasses
+
+        cfg = sharded_config(
+            dynamic_radii=True,
+            ground_points_max_distance_bound=2.0,
+            sepclusters_max_bg_distance_bound=2.0,
+        )
+        lut = make_lut(cfg.sensor)
+        pose = hover_pose((0.0, 0.0, 6.0))
+        ground = Scene(ground_z=0.5)
+        target = Scene(ground_z=0.5)
+        target.add_sphere(center=(4.0, 0.0, 9.0), radius=0.7)
+        scans = [self._scan(cfg, lut, ground, pose)] * 3 + [
+            self._scan(cfg, lut, target, pose)
+        ] * 3
+        radii = [(1.5, 0.8), (1.5, 0.8), (1.0, 1.4), (2.0, 1.9),
+                 (1.5, 0.8), (1.0, 1.9)]
+
+        base = DynParams(raycast_weight_coefficient=0.5)
+        ref_step = make_step_fn(cfg, lut, donate=False)
+        ref_state = init_state(cfg, base)
+        ref_state = ref_state._replace(grid=ref_state.grid.at[1].set(0.0))
+        sh_step = make_grid_sharded_step(cfg, lut, mesh)
+        sh_state = shard_state(ref_state, mesh)
+
+        for i, (scan, (g, s)) in enumerate(zip(scans, radii)):
+            dyn = dataclasses.replace(
+                base,
+                ground_points_max_distance=g,
+                sepclusters_max_bg_distance=s,
+            )
+            ref_state, ref_out = ref_step(ref_state, scan, dyn.as_arrays())
+            sh_state, sh_out = sh_step(sh_state, scan, dyn.as_arrays())
+            np.testing.assert_array_equal(
+                np.asarray(sh_state.grid), np.asarray(ref_state.grid),
+                err_msg=f"step {i} (radii {g}, {s}): grid diverged",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(sh_state.safe), np.asarray(ref_state.safe),
+                err_msg=f"step {i} (radii {g}, {s}): safe diverged",
+            )
+            assert int(sh_out.diag.n_far) == int(ref_out.diag.n_far), i
+        assert sh_step._cache_size() == 1
+        assert int(jnp.sum(ref_out.detections.valid)) >= 1
+
     @pytest.mark.parametrize("lsz", [1, 2])
     def test_quirk_census_sharded_matches(self, rng, mesh, lsz):
         """The counted-indexing quirk census composes with Z-sharding:

@@ -101,8 +101,10 @@ class VoFODConfig:
     # compare — both params then change between steps with NO recompilation.
     # Cost: the traced pools run the naive tap set (~3x the clustering
     # stage, ops/morphology._ball_pool_traced), so the static path stays the
-    # default.  Bounds <= 0 default to the static values above.  Not
-    # supported with the grid-sharded step or sepclusters_exact_census.
+    # default.  Bounds <= 0 default to the static values above.  Composes
+    # with the grid-sharded step (halos at the static bound); NOT with
+    # sepclusters_exact_census (the coarse leaf size is shape-static) or
+    # compat_hascloseto_bounds (a static parity instrument).
     dynamic_radii: bool = False
     ground_points_max_distance_bound: float = 0.0
     sepclusters_max_bg_distance_bound: float = 0.0

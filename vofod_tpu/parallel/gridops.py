@@ -45,9 +45,13 @@ from vofod_tpu.ops.components import (
 from vofod_tpu.ops.explore import apply_demotions, explore_to_ground
 from vofod_tpu.ops.morphology import (
     _ball_pool,
+    _ball_pool_traced,
     ball_pool_max,
+    ball_pool_max_traced,
     ball_pool_min,
+    ball_pool_min_traced,
     ball_pool_sum,
+    ball_pool_sum_traced,
 )
 from vofod_tpu.ops.raycast import (
     dda_emissions,
@@ -78,20 +82,33 @@ class DenseOps:
         return jnp.max(x)
 
     # ---- stencils -----------------------------------------------------------
-    def pool_max(self, a: Array, radius: float, fill=None) -> Array:
+    # ``traced_r2``: optional TRACED squared radius (index units) — ``radius``
+    # then acts as the static compile bound and taps are gated by an r²
+    # compare (cfg.dynamic_radii; ops/morphology._ball_pool_traced).
+    def pool_max(self, a: Array, radius: float, fill=None, traced_r2=None) -> Array:
+        if traced_r2 is not None:
+            return ball_pool_max_traced(a, traced_r2, radius, fill=fill)
         return ball_pool_max(a, radius, fill=fill)
 
-    def pool_min(self, a: Array, radius: float, fill=None) -> Array:
+    def pool_min(self, a: Array, radius: float, fill=None, traced_r2=None) -> Array:
+        if traced_r2 is not None:
+            return ball_pool_min_traced(a, traced_r2, radius, fill=fill)
         return ball_pool_min(a, radius, fill=fill)
 
-    def pool_sum(self, a: Array, radius: float) -> Array:
+    def pool_sum(self, a: Array, radius: float, traced_r2=None) -> Array:
+        if traced_r2 is not None:
+            return ball_pool_sum_traced(a, traced_r2, radius)
         return ball_pool_sum(a, radius)
 
-    def label_seeded(self, occupied, seed, radius, max_iters):
-        return label_components_seeded(occupied, seed, radius, max_iters)
+    def label_seeded(self, occupied, seed, radius, max_iters, traced_r2=None):
+        return label_components_seeded(
+            occupied, seed, radius, max_iters, traced_r2=traced_r2
+        )
 
-    def propagate_reach(self, occupied, seed, radius, max_iters):
-        return propagate_reach(occupied, seed, radius, max_iters)
+    def propagate_reach(self, occupied, seed, radius, max_iters, traced_r2=None):
+        return propagate_reach(
+            occupied, seed, radius, max_iters, traced_r2=traced_r2
+        )
 
     def label_components(self, occupied, radius, max_iters):
         return label_components(occupied, radius, max_iters)
@@ -279,36 +296,43 @@ class ZShardOps:
         return lax.pmax(jnp.max(x), self.axis)
 
     # ---- stencils ---------------------------------------------------------------
-    def _pool(self, a, radius, combine, fill):
+    # ``traced_r2`` as in DenseOps: the halo width comes from the STATIC bound
+    # ``radius`` (traced radii never exceed it by construction), so the
+    # exchange pattern is compile-time fixed and the traced gating runs on the
+    # halo-extended slab — per-element identical to the unsharded traced pool.
+    def _pool(self, a, radius, combine, fill, traced_r2=None):
         import math
 
         r = int(math.floor(radius))
         ext = self.halo_exchange(a, r, fill)
-        pooled = _ball_pool(ext, radius, combine, fill)
+        if traced_r2 is not None:
+            pooled = _ball_pool_traced(ext, traced_r2, radius, combine, fill)
+        else:
+            pooled = _ball_pool(ext, radius, combine, fill)
         return pooled[r : r + a.shape[0]] if r else pooled
 
-    def pool_max(self, a, radius, fill=None):
+    def pool_max(self, a, radius, fill=None, traced_r2=None):
         if fill is None:
             fill = (
                 jnp.iinfo(a.dtype).min
                 if jnp.issubdtype(a.dtype, jnp.integer)
                 else -jnp.inf
             )
-        return self._pool(a, radius, jnp.maximum, fill)
+        return self._pool(a, radius, jnp.maximum, fill, traced_r2=traced_r2)
 
-    def pool_min(self, a, radius, fill=None):
+    def pool_min(self, a, radius, fill=None, traced_r2=None):
         if fill is None:
             fill = (
                 jnp.iinfo(a.dtype).max
                 if jnp.issubdtype(a.dtype, jnp.integer)
                 else jnp.inf
             )
-        return self._pool(a, radius, jnp.minimum, fill)
+        return self._pool(a, radius, jnp.minimum, fill, traced_r2=traced_r2)
 
-    def pool_sum(self, a, radius):
-        return self._pool(a, radius, lax.add, 0)
+    def pool_sum(self, a, radius, traced_r2=None):
+        return self._pool(a, radius, lax.add, 0, traced_r2=traced_r2)
 
-    def label_seeded(self, occupied, seed, radius, max_iters):
+    def label_seeded(self, occupied, seed, radius, max_iters, traced_r2=None):
         """Sharded twin of ops/components.py:label_components_seeded — global
         reversed-flat-id keys, halo'd min-pool sweeps, psum'd change flags."""
         occ = occupied.astype(jnp.bool_)
@@ -323,7 +347,7 @@ class ZShardOps:
 
         def body(it, carry):
             keys, iters = carry
-            pooled = self.pool_min(keys, radius)
+            pooled = self.pool_min(keys, radius, traced_r2=traced_r2)
             new = jnp.where(occ, jnp.minimum(keys, pooled), SENTINEL)
             iters = jnp.where(self.gany(new != keys), it + 1, iters)
             return new, iters
@@ -332,7 +356,9 @@ class ZShardOps:
             0, max_iters, body, (keys, jnp.int32(0)), unroll=4
         )
         last = jnp.where(
-            occ, jnp.minimum(keys, self.pool_min(keys, radius)), SENTINEL
+            occ,
+            jnp.minimum(keys, self.pool_min(keys, radius, traced_r2=traced_r2)),
+            SENTINEL,
         )
         converged = ~self.gany(last != keys)
         keys = last
@@ -380,7 +406,7 @@ class ZShardOps:
         census = lax.psum(census, self.axis)
         return census[jnp.minimum(labels, ncv - 1)]
 
-    def propagate_reach(self, occupied, seed, radius, max_iters):
+    def propagate_reach(self, occupied, seed, radius, max_iters, traced_r2=None):
         """Sharded twin of ops/components.py:propagate_reach (the global
         change flag moves into the body so the while condition stays a
         replicated scalar)."""
@@ -393,7 +419,12 @@ class ZShardOps:
 
         def body(state):
             cur, _, it = state
-            grown = occ & (self.pool_max(cur.astype(jnp.int8), radius, fill=0) > 0)
+            grown = occ & (
+                self.pool_max(
+                    cur.astype(jnp.int8), radius, fill=0, traced_r2=traced_r2
+                )
+                > 0
+            )
             new = cur | grown
             return new, self.gany(new != cur), it + 1
 

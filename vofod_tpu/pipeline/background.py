@@ -83,30 +83,16 @@ def split_and_update(
         from vofod_tpu.ops.morphology import hascloseto_pool_any
 
         bg_near = hascloseto_pool_any(bg_mask, radius)
-    elif traced_r2 is not None:
-        from vofod_tpu.ops.components import label_components_seeded
-        from vofod_tpu.ops.morphology import ball_pool_max_traced
-
+    else:
         bg_near = (
-            ball_pool_max_traced(
-                bg_mask.astype(jnp.int8), traced_r2, radius, fill=0
+            ops.pool_max(
+                bg_mask.astype(jnp.int8), radius, fill=0, traced_r2=traced_r2
             )
             > 0
         )
-        seed = occupied & bg_near
-        labels, close, cc_converged, cc_iters = label_components_seeded(
-            occupied, seed, radius, cfg.cc_sweeps, traced_r2=traced_r2
-        )
-        far = occupied & ~close
-        return _finish(
-            cfg, dyn, grid_vals, counts, occupied, far, close, labels,
-            n_bg, bg_sufficient, cc_converged, cc_iters,
-        )
-    else:
-        bg_near = ops.pool_max(bg_mask.astype(jnp.int8), radius, fill=0) > 0
     seed = occupied & bg_near
     labels, close, cc_converged, cc_iters = ops.label_seeded(
-        occupied, seed, radius, cfg.cc_sweeps
+        occupied, seed, radius, cfg.cc_sweeps, traced_r2=traced_r2
     )
     far = occupied & ~close
 

@@ -85,13 +85,9 @@ def run_sepclusters(
     if cfg.dynamic_radii:
         # live-tunable max_bg_distance (ref dynamic_reconfigure,
         # DetectionParams.cfg:36-44): stencils compile at the static bound;
-        # the traced radius gates taps by r² (ops/morphology, no recompile)
-        from vofod_tpu.ops.components import propagate_reach as _reach
-        from vofod_tpu.ops.morphology import (
-            ball_pool_max_traced,
-            ball_pool_sum_traced,
-        )
-
+        # the traced radius gates taps by r² (ops/morphology, no recompile).
+        # Routed through the ops provider, so this composes with the
+        # grid-sharded step (ZShardOps halos at the static bound).
         bound_idx = (
             cfg.sepclusters_max_bg_distance_bound
             or cfg.sepclusters_max_bg_distance
@@ -103,8 +99,8 @@ def run_sepclusters(
         adj = jnp.ceil(mdi)  # cluster tolerance in index units (traced)
         adj_bound = float(math.ceil(bound_idx))
 
-        local_sure = ball_pool_sum_traced(
-            sure.astype(jnp.int32), (adj + 1.0) ** 2, adj_bound + 1.0
+        local_sure = ops.pool_sum(
+            sure.astype(jnp.int32), adj_bound + 1.0, traced_r2=(adj + 1.0) ** 2
         )
         seeds = sure & (
             local_sure.astype(jnp.float32) >= dyn.sepclusters_min_sure_points
@@ -113,13 +109,13 @@ def run_sepclusters(
             ops.gany(bg), ops.gany(seeds), jnp.asarray(prev_sure)
         )
         init = (prev_safe & bg) | (seeds & bg)
-        safe, converged = _reach(
+        safe, converged = ops.propagate_reach(
             bg, init, adj_bound, max_iters, traced_r2=adj * adj
         )
         unsafe = bg & ~safe
         demote = (
-            ball_pool_max_traced(
-                unsafe.astype(jnp.int8), mdi * mdi, adj_bound, fill=0
+            ops.pool_max(
+                unsafe.astype(jnp.int8), adj_bound, fill=0, traced_r2=mdi * mdi
             )
             > 0
         )

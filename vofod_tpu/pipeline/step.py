@@ -175,13 +175,15 @@ def _make_step_fn(
             "with the sweep raycast (make_step_fn docstring)"
         )
     if cfg.dynamic_radii and (
-        ops.is_sharded
-        or cfg.sepclusters_exact_census
-        or cfg.compat_hascloseto_bounds
+        cfg.sepclusters_exact_census or cfg.compat_hascloseto_bounds
     ):
+        # exact census derives the coarse leaf SIZE (an array-shape factor)
+        # from max_bg_distance, and the hasCloseTo compat box is a parity
+        # instrument — both are inherently static-radius modes.  The
+        # grid-sharded step composes fine (ZShardOps halos at the bound).
         raise NotImplementedError(
-            "dynamic_radii (traced stencil radii) is supported on the "
-            "single-chip dense path with the default sepclusters mode only "
+            "dynamic_radii (traced stencil radii) is supported in the "
+            "default sepclusters mode only, dense or grid-sharded "
             "(config.py VoFODConfig.dynamic_radii)"
         )
     grid = GridSpec.from_config(cfg)
