@@ -28,7 +28,7 @@ def main():
     from vofod_tpu.config import DynParams, VoFODConfig
     from vofod_tpu.io.binner import HostBinner
     from vofod_tpu.io.scan_source import Scene, hover_pose, render_scan
-    from vofod_tpu.pipeline.state import PrebinnedScan, ScanInput, init_state
+    from vofod_tpu.pipeline.state import ScanInput, init_state
     from vofod_tpu.pipeline.step import make_step_fn
     from vofod_tpu.sensor import make_lut
 
@@ -97,17 +97,7 @@ def main():
             hb.bin(r, p) for r, p in scans
         ]
         host_bin_ms = (time.perf_counter() - t0) / len(binned) * 1e3
-        scans = [
-            PrebinnedScan(
-                packed=jnp.asarray(b.packed),
-                active=jnp.asarray(b.active),
-                pose=jnp.asarray(b.pose),
-                stats=jnp.asarray(
-                    np.array([b.n_valid_points, b.n_exclude_hits], np.int32)
-                ),
-            )
-            for b in binned[: len(poses)]
-        ]
+        scans = [b.to_device() for b in binned[: len(poses)]]
 
     state = init_state(cfg)
     # apriori ground plane over the scanned area — deployments bootstrap the

@@ -20,7 +20,7 @@ from vofod_tpu.geometry import GridSpec
 from vofod_tpu.io.binner import HostBinner
 from vofod_tpu.io.scan_source import Scene, hover_pose, render_scan
 from vofod_tpu.pipeline.frontend import run_frontend, run_frontend_prebinned
-from vofod_tpu.pipeline.state import PrebinnedScan, ScanInput, init_state
+from vofod_tpu.pipeline.state import ScanInput, init_state
 from vofod_tpu.pipeline.step import make_step_fn
 from vofod_tpu.sensor import make_lut
 
@@ -58,14 +58,7 @@ def scene_scans(cfg, n=6):
 
 
 def as_device(b):
-    return PrebinnedScan(
-        packed=jnp.asarray(b.packed),
-        active=jnp.asarray(b.active),
-        pose=jnp.asarray(b.pose),
-        stats=jnp.asarray(
-            np.array([b.n_valid_points, b.n_exclude_hits], np.int32)
-        ),
-    )
+    return b.to_device()
 
 
 class TestHostBinner:
@@ -131,6 +124,20 @@ class TestHostBinner:
         inten[::2] = 0.0
         b = hb.bin(ranges, pose, intensity=inten, min_intensity=0.5)
         assert not b.active[::2].any()
+
+    @pytest.mark.parametrize("use_native", [False, True])
+    def test_missing_intensity_matches_raw_step_gate(self, use_native):
+        """No intensity channel: the raw step substitutes intensity=ones
+        (runtime/node.py), so min_intensity > 1 disables every raycast pixel.
+        The host binner must gate identically, not all-pass."""
+        cfg = small_cfg()
+        lut, scans = scene_scans(cfg, n=1)
+        hb = HostBinner(cfg, lut, use_native=use_native)
+        if use_native and not hb.native:
+            pytest.skip("native binner not built")
+        ranges, pose = scans[0]
+        assert hb.bin(ranges, pose, min_intensity=2.0).active.sum() == 0
+        assert hb.bin(ranges, pose, min_intensity=1.0).active.all()
 
 
 class TestPrebinnedStep:

@@ -101,6 +101,22 @@ def test_serve_fleet_cli(tmp_path, capsys):
     assert "2 ticks x 8 local streams" in err
 
 
+def test_serve_fleet_multihost_requires_ticks(monkeypatch, capsys):
+    """With >1 processes each tick is one global SPMD dispatch, so an
+    unbounded run (--ticks 0) would deadlock the fleet the moment one
+    host's sources drain first — the CLI must refuse up front (before the
+    global mesh is committed)."""
+    import pytest
+
+    import vofod_tpu.tools.serve_fleet as sf
+
+    monkeypatch.setattr("jax.process_count", lambda: 2)
+    with pytest.raises(SystemExit) as ei:
+        sf.main(["--sim", "--small-capacities"])
+    assert ei.value.code == 2
+    assert "--ticks is required" in capsys.readouterr().err
+
+
 def test_create_mask_cli(tmp_path, capsys):
     from vofod_tpu.tools.create_mask import main
 

@@ -290,7 +290,6 @@ class TestGridShardedStep:
         from jax.sharding import NamedSharding
 
         from vofod_tpu.io.binner import HostBinner
-        from vofod_tpu.pipeline.state import PrebinnedScan
 
         cfg = sharded_config()
         dyn = DynParams(raycast_weight_coefficient=0.5)
@@ -315,13 +314,7 @@ class TestGridShardedStep:
 
         for i, scene in enumerate(scenes):
             b = hb.bin(render_scan(scene, lut, pose), pose)
-            stats = jnp.asarray(
-                np.array([b.n_valid_points, b.n_exclude_hits], np.int32)
-            )
-            scan = PrebinnedScan(
-                packed=jnp.asarray(b.packed), active=jnp.asarray(b.active),
-                pose=jnp.asarray(pose), stats=stats,
-            )
+            scan = b.to_device()
             sh_scan = scan._replace(
                 packed=jax.device_put(scan.packed, pspec)
             )

@@ -259,6 +259,16 @@ class TestVizConfig:
         # untouched entries keep the reference palette
         assert viz.vmap["new_obstacles"] == (0.0, 0.8, 0.8, 1.0)
 
+    def test_partial_color_entry_keeps_other_channels(self, tmp_path):
+        """An entry naming only some channels overrides just those — the rest
+        keep the shipped palette (not zero)."""
+        from vofod_tpu.runtime.viz import load_viz_config
+
+        p = tmp_path / "viz.yaml"
+        p.write_text("voxel_map:\n  colors:\n    candidates: {a: 0.5}\n")
+        viz = load_viz_config(str(p))
+        assert viz.vmap["candidates"] == (1.0, 0.0, 0.0, 0.5)  # ref red kept
+
 
 class TestViz:
     def test_hsv(self):

@@ -184,6 +184,15 @@ class TestRoundTrip:
     def test_frame_roundtrip(self, data):
         assert decompress(compress(data)) == data
 
+    def test_empty_input_emits_no_data_block(self):
+        """The spec reserves Block_Size 0 for the EndMark, so an empty input
+        must be header + EndMark only — a zero-size stored block (size word
+        0x80000000) would be rejected by strict liblz4 decoders."""
+        buf = compress(b"")
+        assert len(buf) == 4 + 2 + 1 + 4  # magic, FLG+BD, HC, EndMark
+        assert buf[-4:] == b"\x00\x00\x00\x00"
+        assert decompress(buf) == b""
+
     def test_compression_actually_compresses(self):
         data = b"abcdefgh" * 10_000
         assert len(compress(data)) < len(data) // 10

@@ -110,6 +110,19 @@ class TestParamWatcher:
         _write(p, "classification: {max_size: 6.0}\n")
         assert w.poll() == {"cls_max_size": 6.0}
 
+    def test_partial_file_keeps_tuned_params(self, tmp_path):
+        """A partial file overrides ONLY the keys it names: params tuned at
+        runtime (update_params / --config) and absent from the watched file
+        must not snap back to the dataclass defaults."""
+        node = _node()
+        node.update_params(cls_max_size=5.0, thr_new_obstacles=0.42)
+        p = str(tmp_path / "params.yaml")
+        _write(p, "raycast: {pause: true}\n")
+        w = ParamWatcher(node, p)
+        assert w.poll() == {"raycast_pause": True}
+        assert node.dyn.cls_max_size == 5.0
+        assert node.dyn.thr_new_obstacles == 0.42
+
     def test_missing_file_is_noop(self, tmp_path):
         node = _node()
         w = ParamWatcher(node, str(tmp_path / "absent.yaml"))

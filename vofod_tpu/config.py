@@ -318,9 +318,15 @@ class DynParams:
         return DynParams(**out)
 
     @staticmethod
-    def from_yaml_dict(d: Mapping[str, Any]) -> "DynParams":
-        """Extract dynamic params from a detection_params.yaml-shaped dict."""
-        p = DynParams()
+    def from_yaml_dict(
+        d: Mapping[str, Any], base: "DynParams | None" = None
+    ) -> "DynParams":
+        """Extract dynamic params from a detection_params.yaml-shaped dict.
+
+        Keys absent from the dict keep ``base``'s values (default: the
+        dataclass defaults) — a partial file overrides only what it names,
+        like the reference's per-param dynamic_reconfigure updates."""
+        p = base if base is not None else DynParams()
         vm = d.get("voxel_map", {})
         sc = vm.get("scores", {})
         th = vm.get("thresholds", {})

@@ -68,6 +68,24 @@ class BinnedScan:
     n_valid_points: int
     n_exclude_hits: int
 
+    def to_device(self):
+        """The device-side ``pipeline.state.PrebinnedScan`` pytree (stats
+        packed as one int32 pair — single upload).  For a grid-sharded step,
+        ``_replace(packed=jax.device_put(scan.packed, <P(axis,None,None)>))``
+        afterwards."""
+        import jax.numpy as jnp
+
+        from vofod_tpu.pipeline.state import PrebinnedScan
+
+        return PrebinnedScan(
+            packed=jnp.asarray(self.packed),
+            active=jnp.asarray(self.active),
+            pose=jnp.asarray(self.pose),
+            stats=jnp.asarray(
+                np.array([self.n_valid_points, self.n_exclude_hits], np.int32)
+            ),
+        )
+
 
 class HostBinner:
     """Per-sensor host binner bound to a (config, LUT, mask) triple."""
@@ -130,6 +148,14 @@ class HostBinner:
             np.asarray(ranges_mm).reshape(-1), np.uint32
         )
         pose = np.asarray(pose, np.float32)
+        if intensity is None:
+            # the raw step substitutes intensity=ones when the source has no
+            # intensity channel (runtime/node.py), so the raycast gate is
+            # `1.0 >= min_intensity` — substitute the same here rather than
+            # all-pass, or the two frontends diverge when min_intensity > 1
+            if not hasattr(self, "_ones"):
+                self._ones = np.ones(self.n, np.float32)
+            intensity = self._ones
         if self._ctx is not None:
             return self._bin_native(ranges_mm, pose, intensity, min_intensity)
         return self._bin_np(ranges_mm, pose, intensity, min_intensity)
@@ -191,8 +217,8 @@ class HostBinner:
             np.minimum(counts, 63).astype(np.uint8)
             | (bmask.astype(np.uint8) << 7)
         )
-        if intensity is None:
-            act_i = np.ones(self.n, bool)
+        if intensity is None:  # same ones substitution as bin() (raw-step parity)
+            act_i = np.full(self.n, np.float32(1.0) >= min_intensity)
         else:
             act_i = np.asarray(intensity).reshape(-1) >= min_intensity
         active = (act_i & ((self.mask > 0) | has_return)).astype(np.uint8)

@@ -219,7 +219,9 @@ def compress(data: bytes) -> bytes:
     out = bytearray(struct.pack("<I", MAGIC))
     out += desc
     out.append((xxh32(desc) >> 8) & 0xFF)
-    for i in range(0, len(data), _BLOCK_SIZE) or [0]:
+    # empty input ⇒ header + EndMark only: the spec reserves Block_Size 0 for
+    # the EndMark, so a zero-length data block would be an invalid frame
+    for i in range(0, len(data), _BLOCK_SIZE):
         raw = data[i : i + _BLOCK_SIZE]
         comp = compress_block(raw)
         if len(comp) < len(raw):

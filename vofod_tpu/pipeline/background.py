@@ -49,10 +49,10 @@ def split_and_update(
         # live-tunable radius (ref dynamic_reconfigure ground_points_max_-
         # distance): compile at the static bound, gate taps by traced r²
         # (ops/morphology._ball_pool_traced) — no recompile on change
-        bound = (
-            cfg.ground_points_max_distance_bound or
-            cfg.ground_points_max_distance
-        ) / cfg.voxel_size
+        bound_m = cfg.ground_points_max_distance_bound
+        if bound_m <= 0:  # documented: bounds <= 0 default to the static value
+            bound_m = cfg.ground_points_max_distance
+        bound = bound_m / cfg.voxel_size
         r_idx = dyn.ground_points_max_distance / cfg.voxel_size
         traced_r2 = jnp.minimum(r_idx * r_idx, jnp.float32(bound * bound))
         radius = bound

@@ -88,10 +88,10 @@ def run_sepclusters(
         # the traced radius gates taps by r² (ops/morphology, no recompile).
         # Routed through the ops provider, so this composes with the
         # grid-sharded step (ZShardOps halos at the static bound).
-        bound_idx = (
-            cfg.sepclusters_max_bg_distance_bound
-            or cfg.sepclusters_max_bg_distance
-        ) / cfg.voxel_size
+        bound_m = cfg.sepclusters_max_bg_distance_bound
+        if bound_m <= 0:  # documented: bounds <= 0 default to the static value
+            bound_m = cfg.sepclusters_max_bg_distance
+        bound_idx = bound_m / cfg.voxel_size
         mdi = jnp.minimum(
             dyn.sepclusters_max_bg_distance / cfg.voxel_size,
             jnp.float32(bound_idx),

@@ -152,8 +152,6 @@ class VoFOD:
         stimer = ScopeTimer(f"pc proc #{self._host_step}")
         pose_np = np.asarray(pose, np.float32)
         if self._binner is not None:
-            from vofod_tpu.pipeline.state import PrebinnedScan
-
             inten_np = (
                 None if intensity is None
                 else np.asarray(intensity, np.float32).reshape(-1)
@@ -163,14 +161,7 @@ class VoFOD:
                 min_intensity=float(self.dyn.raycast_min_intensity),
             )
             stimer.checkpoint("host bin")
-            scan = PrebinnedScan(
-                packed=jnp.asarray(b.packed),
-                active=jnp.asarray(b.active),
-                pose=jnp.asarray(pose_np),
-                stats=jnp.asarray(
-                    np.array([b.n_valid_points, b.n_exclude_hits], np.int32)
-                ),
-            )
+            scan = b.to_device()
         else:
             inten = (
                 np.ones(n, np.float32) if intensity is None

@@ -59,7 +59,11 @@ class ParamWatcher:
 
             with open(self.path) as f:
                 doc = yaml.safe_load(f) or {}
-            fresh = DynParams.from_yaml_dict(doc)
+            # rebase on the node's LIVE params: a partial file overrides only
+            # the keys it names — params tuned at startup (or by an earlier
+            # poll) and then omitted from the file must not snap back to the
+            # dataclass defaults
+            fresh = DynParams.from_yaml_dict(doc, base=self.node.dyn)
         except Exception as e:
             _log.warning("[VoFOD]: param file %s unparsable (%s); keeping "
                          "previous parameters", self.path, e)

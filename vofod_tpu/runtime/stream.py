@@ -118,8 +118,14 @@ class StreamRunner:
                 self.on_detections(msg)
 
         while not self._stop.is_set():
+            # claim a potential pop BEFORE it leaves the queue: drain() must
+            # never observe queue-empty AND inflight==0 while a scan is in
+            # hand between pop() and pending.append() (it would return with
+            # the final scan's result unfetched)
+            self.inflight = len(pending) + 1
             item = self.queue.pop()
             if item is None:
+                self.inflight = len(pending)
                 # nothing new: flush the pipeline so results never stall
                 # behind an idle sensor
                 while pending:

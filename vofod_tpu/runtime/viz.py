@@ -70,11 +70,15 @@ def load_viz_config(path: str | None = None) -> VizColors:
         return out
     for section, dst in (("voxel_map", out.vmap), ("voxel_flags", out.vflags)):
         for name, c in ((d.get(section) or {}).get("colors") or {}).items():
+            # a partial entry overrides only the channels it names; the
+            # others keep the shipped palette (like the reference's
+            # per-param load, vofod_nodelet.cpp param_loader defaults)
+            base = dst.get(name, (0.0, 0.0, 0.0, 1.0))
             dst[name] = (
-                float(c.get("r", 0.0)),
-                float(c.get("g", 0.0)),
-                float(c.get("b", 0.0)),
-                float(c.get("a", 1.0)),
+                float(c.get("r", base[0])),
+                float(c.get("g", base[1])),
+                float(c.get("b", base[2])),
+                float(c.get("a", base[3])),
             )
     return out
 

@@ -124,6 +124,7 @@ def main(argv=None):
     if not args.scans:
         ap.error("--scans is required (record one with io.scan_source)")
     scans_path = args.scans
+    tmp_npz = None  # bag-conversion scratch file, removed after replay
     if scans_path.endswith(".bag"):
         # the reference consumes recorded flights via `rosbag play`
         # (launch/detect.launch:8-10); here the bag converts in place and
@@ -142,7 +143,7 @@ def main(argv=None):
             do_destagger=bool(args.metadata),
         )
         print(f"# converted {n} scans from {scans_path}", file=sys.stderr)
-        scans_path = tmp.name
+        scans_path = tmp_npz = tmp.name
     before_scan = None
     if args.watch_params:
         from vofod_tpu.runtime.param_watch import ParamWatcher
@@ -150,7 +151,15 @@ def main(argv=None):
         watcher = ParamWatcher(node, args.watch_params)
         watcher.poll()  # the watched file is authoritative from scan 0
         before_scan = lambda k: watcher.poll()
-    msgs = node.replay(scans_path, before_scan=before_scan)
+    try:
+        msgs = node.replay(scans_path, before_scan=before_scan)
+    finally:
+        if tmp_npz is not None:
+            import contextlib
+            import os
+
+            with contextlib.suppress(OSError):
+                os.unlink(tmp_npz)
     for m in msgs:
         if args.json:
             print(

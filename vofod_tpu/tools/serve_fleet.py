@@ -10,6 +10,14 @@ command on every host with ``--coordinator/--num-processes/--process-id``;
 each host feeds and reports only its local streams
 (runtime/fleet.py runbook).
 
+Multi-host lockstep: ``process_local_scans`` is ONE global SPMD dispatch, so
+every host must issue the same number of calls — with ``--coordinator`` the
+shared tick budget ``--ticks`` is required, ticks are paced at ``--rate``,
+and a host whose rings have no fresh frame re-dispatches each stream's
+freshest seen frame rather than skipping (host-local freshness or source
+drain must never change the dispatch count, or the fleet deadlocks inside
+the mesh collectives pairing mismatched ticks).
+
   # single host, one simulated stream per device:
   python -m vofod_tpu.tools.serve_fleet --ticks 50 --sim
 
@@ -93,6 +101,19 @@ def main(argv=None):
             explore_submap=16, confidence_submap=8,
         )
 
+    import jax
+
+    multihost = jax.process_count() > 1
+    if multihost and args.ticks <= 0:
+        # checked BEFORE building the fleet: the error is host-local and
+        # cheap here; after construction every host is already committed to
+        # the global mesh
+        ap.error(
+            "--ticks is required with --coordinator: each tick is one "
+            "global SPMD dispatch, so every host must run the same fixed "
+            "number (see module docstring)"
+        )
+
     fleet = FleetVoFOD(cfg, dyn, n_streams=args.streams or None)
     local = fleet.local_streams
     n_pts = cfg.sensor.n_points
@@ -147,10 +168,12 @@ def main(argv=None):
     for t in threads:
         t.start()
 
-    # --- lockstep consumer: ticks on fresh data, freshest frame per stream ---
+    # --- lockstep consumer: freshest frame per stream each tick --------------
     last = [None] * len(local)
     tick = 0
     t0 = time.time()
+    period = 1.0 / args.rate if args.rate > 0 else 0.0
+    next_t = time.time()
     try:
         while args.ticks == 0 or tick < args.ticks:
             fresh = False
@@ -160,11 +183,27 @@ def main(argv=None):
                     last[i] = frame
                     fresh = True
                     frame = q.pop()
-            if not fresh or any(f is None for f in last):
+            if any(f is None for f in last):
+                # warm-up: every local stream needs one frame before the
+                # first dispatch (the dispatch itself is the cross-host
+                # barrier, so a late host just delays the first collective)
+                if all(drained):
+                    break  # a source drained without ever producing
+                time.sleep(0.001)
+                continue
+            if not multihost and not fresh:
                 if all(drained):
                     break  # sources exhausted and rings empty
                 time.sleep(0.001)
                 continue
+            if multihost and period:
+                # pace the fixed tick budget at the producer rate; stale
+                # rings re-dispatch last — the dispatch COUNT must be
+                # host-invariant (module docstring)
+                now = time.time()
+                if now < next_t:
+                    time.sleep(next_t - now)
+                next_t = max(next_t + period, time.time())
             ranges = np.stack([f[0] for f in last])
             poses = np.stack([f[1] for f in last])
             out = fleet.process_local_scans(ranges, poses, stamp=time.time())
