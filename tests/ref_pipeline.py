@@ -95,6 +95,31 @@ class RefPipeline:
         nz, ny, nx = self.shape
         return np.all((idx >= 0) & (idx < np.array([nx, ny, nz])), axis=-1)
 
+    # -- rangefinder fusion ----------------------------------------------------
+    def rangefinder(self, rng, min_range, max_range, pose):
+        """Fuse a downward rangefinder hit (ref processMsg(Range),
+        vofod_nodelet.cpp:580-613): validity gate, transform the range
+        along sensor +x to world, and half-EMA the hit voxel toward
+        dyn.score_point.  Spec-correct || validity by default; the
+        reference's && quirk (:585) behind cfg.compat_rangefinder_validity.
+        Returns whether the measurement was fused."""
+        if getattr(self.cfg, "compat_rangefinder_validity", False):
+            if rng <= min_range and rng >= max_range:
+                return False
+        else:
+            if rng <= min_range or rng >= max_range:
+                return False
+        T = np.asarray(pose, F32)
+        pt = (T @ np.array([rng, 0.0, 0.0, 1.0], F32))[:3]
+        idx = self._coord_to_idx(pt[None, :])
+        if not self._in_limits_idx(idx)[0]:
+            return False
+        x, y, z = idx[0]
+        self.vmap[z, y, x] = F32(
+            (self.vmap[z, y, x] + F32(self.dyn.score_point)) / 2.0
+        )
+        return True
+
     # -- CNC stage ------------------------------------------------------------
     def _frontend(self, ranges_mm, pose):
         """filterAndTransform + VoxelGridWeighted: counts grid over the map

@@ -317,6 +317,19 @@ class VoFOD:
         if invalid:
             return False
         pt = np.asarray(pose, np.float32) @ np.array([rng, 0, 0, 1], np.float32)
+        # in-limits check on the host (same f32 floor math as the device's
+        # GridSpec.coord_to_idx): the reference skips out-of-area hits with an
+        # error log (:600-604), and rejecting here both reports the skip
+        # truthfully and saves a no-op device dispatch
+        g = self.grid_spec
+        idx = np.floor(
+            (pt[:3] - np.asarray(g.origin, np.float32))
+            * np.float32(g.inv_voxel)
+        ).astype(np.int64)
+        nxyz = (g.nx, g.ny, g.nz)
+        if not all(0 <= idx[a] < nxyz[a] for a in range(3)):
+            self._log.error("rangefinder hit outside the operation area")
+            return False
         self.state = self._rangefinder_update(
             self.state, jnp.asarray(pt[:3]), jnp.float32(self.dyn.score_point)
         )
