@@ -355,14 +355,11 @@ class ZShardOps:
         keys, iters = lax.fori_loop(
             0, max_iters, body, (keys, jnp.int32(0)), unroll=4
         )
-        last = jnp.where(
-            occ,
-            jnp.minimum(keys, self.pool_min(keys, radius, traced_r2=traced_r2)),
-            SENTINEL,
-        )
-        converged = ~self.gany(last != keys)
-        keys = last
-        iters = jnp.where(converged, iters, jnp.int32(max_iters))
+        # convergence from the in-loop tracker, exactly as the dense twin
+        # (ops/components.py label_components_seeded): iters < max_iters ⇔
+        # some trailing sweep changed nothing ⇔ fixpoint — drops the extra
+        # diagnostic pool AND its halo exchange
+        converged = iters < max_iters
         reached = occ & (keys < nv)
         labels = jnp.where(
             occ, jnp.where(keys < nv, keys, keys - nv), SENTINEL
