@@ -63,15 +63,18 @@ class TestScanQueue:
         q = ScanQueue(n_points=16, capacity=2)
         r0 = np.arange(16, dtype=np.uint32)
         pose = np.eye(4, dtype=np.float32)
-        assert q.push(r0, pose)
-        assert q.push(r0 + 1, pose)
+        sig = np.linspace(0.0, 200.0, 16, dtype=np.float32)
+        assert q.push(r0, pose, intensity=sig)
+        assert q.push(r0 + 1, pose)  # no intensity channel -> all-ones
         assert not q.push(r0 + 2, pose)  # full -> dropped
         assert q.dropped == 1
-        a, p = q.pop()
+        a, w, p = q.pop()
         np.testing.assert_array_equal(a, r0)
+        np.testing.assert_array_equal(w, sig)
         np.testing.assert_array_equal(p, pose)
-        b, _ = q.pop()
+        b, w1, _ = q.pop()
         np.testing.assert_array_equal(b, r0 + 1)
+        np.testing.assert_array_equal(w1, np.ones(16, np.float32))
         assert q.pop() is None
 
     def test_threaded_producer(self):

@@ -20,13 +20,25 @@ from vofod_tpu.io.pc_loader import _native_lib
 
 
 class ScanQueue:
-    """Fixed-capacity queue of (ranges_mm u32 [N], pose f32 [16]) frames."""
+    """Fixed-capacity queue of (ranges_mm u32 [N], intensity f32 [N],
+    pose f32 [16]) frames.
+
+    The intensity/signal channel rides every frame so the reference's
+    ``raycast/min_intensity`` per-pixel gate (vofod_nodelet.cpp:1449) works
+    through the live serving path too, not only in bag replay; producers
+    without an intensity channel push ``None`` (stored as all-ones, which the
+    gate treats as always-pass, matching VoFOD.process_scan(intensity=None)).
+    """
 
     def __init__(self, n_points: int, capacity: int = 8):
         self.n_points = n_points
         self.capacity = capacity
         self._frame_dtype = np.dtype(
-            [("ranges", np.uint32, (n_points,)), ("pose", np.float32, (16,))]
+            [
+                ("ranges", np.uint32, (n_points,)),
+                ("intensity", np.float32, (n_points,)),
+                ("pose", np.float32, (16,)),
+            ]
         )
         lib = _native_lib()
         self._lib = None
@@ -57,9 +69,16 @@ class ScanQueue:
             self._dropped = 0
             self._lock = threading.Lock()
 
-    def push(self, ranges_mm: np.ndarray, pose: np.ndarray) -> bool:
+    def push(
+        self, ranges_mm: np.ndarray, pose: np.ndarray,
+        intensity: np.ndarray | None = None,
+    ) -> bool:
         frame = np.zeros((), self._frame_dtype)
         frame["ranges"] = np.asarray(ranges_mm, np.uint32).reshape(-1)
+        frame["intensity"] = (
+            1.0 if intensity is None
+            else np.asarray(intensity, np.float32).reshape(-1)
+        )
         frame["pose"] = np.asarray(pose, np.float32).reshape(-1)
         if self._lib is not None:
             buf = frame.tobytes()
@@ -73,19 +92,23 @@ class ScanQueue:
             return True
 
     def pop(self):
-        """Returns (ranges u32 [N], pose f32 [4,4]) or None when empty."""
+        """Returns (ranges u32 [N], intensity f32 [N], pose f32 [4,4]) or
+        None when empty."""
         if self._lib is not None:
-            out = np.zeros((), self._frame_dtype)
             buf = (ctypes.c_uint8 * self._frame_dtype.itemsize)()
             if not self._lib.vofod_queue_pop(self._q, buf):
                 return None
-            out = np.frombuffer(bytes(buf), self._frame_dtype)[0]
-            return out["ranges"].copy(), out["pose"].reshape(4, 4).copy()
-        with self._lock:
-            if not self._dq:
-                return None
-            f = self._dq.popleft()
-        return f["ranges"].copy(), f["pose"].reshape(4, 4).copy()
+            f = np.frombuffer(bytes(buf), self._frame_dtype)[0]
+        else:
+            with self._lock:
+                if not self._dq:
+                    return None
+                f = self._dq.popleft()
+        return (
+            f["ranges"].copy(),
+            f["intensity"].copy(),
+            f["pose"].reshape(4, 4).copy(),
+        )
 
     def __len__(self) -> int:
         if self._lib is not None:

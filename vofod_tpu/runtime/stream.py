@@ -71,8 +71,11 @@ class StreamRunner:
         self._thread: threading.Thread | None = None
 
     # producer-side API (called from the sensor/reader thread)
-    def push(self, ranges_mm: np.ndarray, pose: np.ndarray) -> bool:
-        ok = self.queue.push(ranges_mm, pose)
+    def push(
+        self, ranges_mm: np.ndarray, pose: np.ndarray,
+        intensity: np.ndarray | None = None,
+    ) -> bool:
+        ok = self.queue.push(ranges_mm, pose, intensity=intensity)
         if not ok:
             self.stats.dropped = self.queue.dropped
         return ok
@@ -144,10 +147,10 @@ class StreamRunner:
             else:
                 last_msg = time.time()
                 warned = False
-                ranges, pose = item
+                ranges, inten, pose = item
                 pending.append(
                     self.node.process_scan_async(
-                        ranges, None, pose, time.time()
+                        ranges, inten, pose, time.time()
                     )
                 )
                 self.inflight = len(pending)

@@ -120,10 +120,13 @@ def main(argv=None):
 
     # --- per-local-stream frame sources --------------------------------------
     def npz_frames(path):
-        ranges, poses, _, _ = load_scans_npz(path)
+        ranges, poses, _, inten = load_scans_npz(path)
         while True:
-            for r, p in zip(ranges, poses):
-                yield np.asarray(r, np.uint32).reshape(-1), p
+            for k, (r, p) in enumerate(zip(ranges, poses)):
+                yield (
+                    np.asarray(r, np.uint32).reshape(-1), p,
+                    None if inten is None else inten[k],
+                )
             if not args.loop:
                 return
 
@@ -138,7 +141,7 @@ def main(argv=None):
                 center=(6.0 * np.cos(ang), 6.0 * np.sin(ang), 5.0), radius=0.5
             )
             r = render_scan(sc, fleet.lut, pose)
-            yield np.asarray(r, np.uint32).reshape(-1), pose
+            yield np.asarray(r, np.uint32).reshape(-1), pose, None
             k += 1
 
     if args.sim or not args.scans:
@@ -153,10 +156,10 @@ def main(argv=None):
 
     def producer(i, src, q):
         period = 1.0 / args.rate if args.rate > 0 else 0.0
-        for ranges, pose in src:
+        for ranges, pose, inten in src:
             if done.is_set():
                 return
-            q.push(ranges, pose)
+            q.push(ranges, pose, intensity=inten)
             if period:
                 time.sleep(period)
         drained[i] = True
@@ -205,8 +208,11 @@ def main(argv=None):
                     time.sleep(next_t - now)
                 next_t = max(next_t + period, time.time())
             ranges = np.stack([f[0] for f in last])
-            poses = np.stack([f[1] for f in last])
-            out = fleet.process_local_scans(ranges, poses, stamp=time.time())
+            inten = np.stack([f[1] for f in last])
+            poses = np.stack([f[2] for f in last])
+            out = fleet.process_local_scans(
+                ranges, poses, stamp=time.time(), intensity=inten
+            )
             tick += 1
             for b, msg in sorted(out.items()):
                 for d in msg.detections:
