@@ -122,11 +122,13 @@ class VoFODConfig:
     # clusters only — small by the max_size gate); overflow clusters are
     # conservatively classified unknown
     max_queries: int = 256
-    # fast-path capacity of the two-tier explore: when a scan's query count
-    # fits, the batched BFS runs at this capacity instead of max_queries
-    # (identical results — queries fill in ascending order; the BFS cost
-    # scales with the [n, S, S, S] arrays).  <= 0 disables the fast tier.
-    explore_fast_queries: int = 32
+    # fast-path capacities of the tiered explore: each scan's batched BFS
+    # runs at the smallest listed capacity that fits its query count,
+    # falling back to max_queries (identical results — queries fill in
+    # ascending order; the BFS cost scales with the [n, S, S, S] arrays).
+    # An int means a single fast tier; an empty tuple (or <= 0) disables
+    # tiering entirely.
+    explore_fast_queries: tuple[int, ...] | int = (8, 32, 64)
     # side of the cubic submap used for the bounded exploreToGround BFS;
     # must cover 2*max_explore_voxel_dist+1
     explore_submap: int = 32

@@ -204,19 +204,23 @@ def classify(
 
         return run
 
-    QF = min(cfg.explore_fast_queries, Q) if cfg.explore_fast_queries > 0 else Q
-    branch = jnp.where(
-        ~jnp.any(qvalid),
-        0,
-        jnp.where(qtotal <= QF, 1, 2),
-    )
+    tiers = cfg.explore_fast_queries
+    if isinstance(tiers, int):
+        tiers = (tiers,) if tiers > 0 else ()
+    # ascending distinct capacities, max_queries always the final fallback
+    tiers = tuple(sorted({min(int(t), Q) for t in tiers if int(t) > 0}))
+    if not tiers or tiers[-1] != Q:
+        tiers = tiers + (Q,)
+    # smallest tier that fits qtotal (tiers ascend, so this counts the
+    # tiers it exceeds); overflow (qtotal > Q) stays on the full branch
+    tier_idx = jnp.sum(qtotal > jnp.asarray(tiers[:-1], jnp.int32)) if (
+        len(tiers) > 1
+    ) else jnp.int32(0)
+    branch = jnp.where(~jnp.any(qvalid), 0, 1 + tier_idx)
     floating, new_vals = jax.lax.switch(
         branch,
-        [
-            lambda vals: (jnp.zeros((K,), jnp.bool_), vals),
-            make_explore(QF),
-            make_explore(Q),
-        ],
+        [lambda vals: (jnp.zeros((K,), jnp.bool_), vals)]
+        + [make_explore(t) for t in tiers],
         grid_vals,
     )
 
