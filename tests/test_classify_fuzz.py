@@ -204,3 +204,64 @@ def test_classify_fuzz_200_random_scenes(rng):
     # the fuzz actually exercised the interesting paths
     assert checked_clusters > 100
     assert checked_demotions > 50
+
+
+def test_explore_tier_ladder_invariance(rng):
+    """The tiered explore fast path is a pure capacity optimization: for any
+    tier ladder (including none), classify() output is IDENTICAL — queries
+    fill in ascending order and each query's bounded BFS is independent
+    (config.py explore_fast_queries; the ladder picks the smallest capacity
+    that fits the scan's query count)."""
+    grid = GridSpec(origin=(0.0, 0.0, 0.0), shape=SHAPE, voxel_size=VOXEL)
+    base = dict(
+        max_clusters=8,
+        max_far_voxels=256,
+        max_queries=40,
+        explore_submap=16,
+    )
+    ladders = [0, (8, 16), (3, 7, 21), 16, (40,)]
+    cfgs = [
+        VoFODConfig(explore_fast_queries=t, **base) for t in ladders
+    ]
+    dyn_obj = DynParams(
+        cls_min_points=1.0,
+        cls_max_size=30.0,  # permissive: member counts == query counts
+        cls_max_distance=40.0,
+        cls_max_explore_distance=1.0,
+    )
+    dyn = dyn_obj.as_arrays()
+    sensor_pos = np.array([3.5, 3.0, 2.5], np.float32)
+    fns = [
+        jax.jit(
+            lambda vals, far, labels, _cfg=cfg: classify(
+                _cfg, dyn, grid, vals, far, labels, jnp.bool_(True),
+                jnp.asarray(sensor_pos), jnp.bool_(True), jnp.bool_(True),
+            )
+        )
+        for cfg in cfgs
+    ]
+
+    # controlled query counts hit every tier boundary of every ladder —
+    # n member voxels of one gated cluster => qtotal == n — plus an
+    # overflow case (qtotal > max_queries => conservative unknown)
+    sizes = [1, 3, 4, 7, 8, 9, 16, 17, 21, 22, 40, 41]
+    for n in sizes:
+        vals = np.full(SHAPE, -500.0, np.float32)  # unknown band everywhere
+        far = np.zeros(SHAPE, bool)
+        flat = rng.permutation(int(np.prod(SHAPE)))[:n]
+        zz, yy, xx = np.unravel_index(flat, SHAPE)
+        far[zz, yy, xx] = True
+        labels, _, conv, _ = label_components_seeded(
+            jnp.asarray(far), jnp.zeros(SHAPE, bool), RADIUS, 64
+        )
+        assert bool(conv)
+        outs = [
+            fn(jnp.asarray(vals), jnp.asarray(far), labels) for fn in fns
+        ]
+        ref = outs[0]
+        for ladder, out in zip(ladders[1:], outs[1:]):
+            for field, a, b in zip(ref._fields, ref, out):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"{field} differs for ladder {ladder} at n={n}",
+                )
