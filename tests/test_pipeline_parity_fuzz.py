@@ -117,8 +117,8 @@ def run_oracle(cfg, lut, dyn, scans):
     return [ref.step(r, inten, pose) for r, inten, pose in scans], ref
 
 
-def run_tpu_exact(cfg, lut, dyn, scans):
-    step = make_step_fn(cfg, lut, raycast_mode="exact", donate=False)
+def run_tpu_exact(cfg, lut, dyn, scans, raycast_mode="exact"):
+    step = make_step_fn(cfg, lut, raycast_mode=raycast_mode, donate=False)
     state = init_state(cfg, dyn)
     state = state._replace(grid=state.grid.at[1, :, :].set(jnp.inf))
     dyn_arr = dyn.as_arrays()
@@ -144,10 +144,24 @@ def run_tpu_exact(cfg, lut, dyn, scans):
     return outs, state
 
 
+@pytest.fixture(scope="module")
+def oracle_cache():
+    """seed -> (oracle_out, ref): the NumPy oracle replay is the expensive
+    half of each seed; the exact-parity and sweep-budget tests share it."""
+    return {}
+
+
+def get_oracle(seed, cache):
+    if seed not in cache:
+        cfg, lut, dyn, scans = fuzz_scenario(seed)
+        cache[seed] = run_oracle(cfg, lut, dyn, scans)
+    return cache[seed]
+
+
 @pytest.mark.parametrize("seed", SEEDS)
-def test_randomized_scenario_parity(seed):
+def test_randomized_scenario_parity(seed, oracle_cache):
     cfg, lut, dyn, scans = fuzz_scenario(seed)
-    oracle_out, ref = run_oracle(cfg, lut, dyn, scans)
+    oracle_out, ref = get_oracle(seed, oracle_cache)
     tpu_out, state = run_tpu_exact(cfg, lut, dyn, scans)
 
     # the drawn scenario must actually exercise detection (non-vacuous)
@@ -190,3 +204,46 @@ def test_randomized_scenario_parity(seed):
         diff = np.abs(np.where(both_inf, 0.0, g - ref.vmap))
     assert float(np.max(diff)) <= 15.0, (seed, float(np.max(diff)))
     assert float(np.mean(diff)) <= 0.05, (seed, float(np.mean(diff)))
+
+
+@pytest.mark.parametrize("seed", SEEDS[:2])
+def test_randomized_sweep_error_budget(seed, oracle_cache):
+    """Production sweep mode vs the oracle on randomized scenes: the
+    DESIGN.md §9 sweep-mode error budget (detection latency, position error,
+    confidence drift) must hold beyond the hand-built scenario's geometry."""
+    cfg_prod = parity_config()  # production defaults (local-density sepcl.)
+    _, lut, dyn, scans = fuzz_scenario(seed)
+    oracle_out, _ = get_oracle(seed, oracle_cache)
+    sweep_out, _ = run_tpu_exact(
+        cfg_prod, lut, dyn, scans, raycast_mode="sweep"
+    )
+
+    o_first = next((i for i, (d, _) in enumerate(oracle_out) if d), None)
+    s_first = next((i for i, d in enumerate(sweep_out) if d), None)
+    assert s_first is not None, f"seed {seed}: sweep mode never detected"
+    latency = s_first - o_first
+
+    pos_errs, conf_deltas, matched = [], [], 0
+    for (odets, _), sdets in zip(oracle_out, sweep_out):
+        if not odets or not sdets:
+            continue
+        matched += 1
+        for od in odets:
+            sd = min(
+                sdets,
+                key=lambda d: np.linalg.norm(d["position"] - od["position"]),
+            )
+            pos_errs.append(
+                float(np.linalg.norm(sd["position"] - od["position"]))
+            )
+            conf_deltas.append(abs(sd["confidence"] - od["confidence"]))
+
+    assert matched >= 5, f"seed {seed}: only {matched} co-detected scans"
+    report = (
+        f"seed {seed} sweep-vs-oracle: latency {latency:+d} scans, pos err "
+        f"max {max(pos_errs):.3f} m, conf delta max {max(conf_deltas):.3f}"
+    )
+    print(report)
+    assert abs(latency) <= 3, report
+    assert max(pos_errs) <= 0.75, report
+    assert max(conf_deltas) <= 0.35, report
