@@ -74,7 +74,7 @@ class TestBlockDecode:
             )
 
     def test_offset_past_start_rejected(self):
-        with pytest.raises(ValueError, match="before output start"):
+        with pytest.raises(ValueError, match="before the window"):
             decompress_block(
                 bytes([0x14]) + b"x" + struct.pack("<H", 7), bytearray()
             )

@@ -92,12 +92,22 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # ---------------------------------------------------------------------------
 
 
-def decompress_block(src: bytes, out: bytearray) -> None:
+def decompress_block(
+    src: bytes, out: bytearray, window_start: int = 0
+) -> None:
     """Decode one LZ4 block, APPENDING to ``out``.
 
     ``out`` may already hold earlier output: matches whose offset reaches
     before the block's own start then copy from that history, which is how
-    block-dependent frames chain (roslz4 writes dependent blocks)."""
+    block-dependent frames chain (roslz4 writes dependent blocks).
+    ``window_start`` is the earliest ``out`` position matches may legally
+    reach (the block's own start for block-INDEPENDENT frames, the frame's
+    start for dependent ones) — corrupt offsets reaching further raise
+    instead of silently copying unrelated history.
+
+    Every length/offset field is bounds-checked before use, so truncated or
+    corrupt blocks raise ValueError — never IndexError, never an overread.
+    """
     n = len(src)
     i = 0
     while i < n:
@@ -107,6 +117,8 @@ def decompress_block(src: bytes, out: bytearray) -> None:
         ll = token >> 4
         if ll == 15:
             while True:
+                if i >= n:
+                    raise ValueError("lz4 block: truncated literal length")
                 x = src[i]
                 i += 1
                 ll += x
@@ -120,6 +132,8 @@ def decompress_block(src: bytes, out: bytearray) -> None:
         if i >= n:
             break  # last sequence is literals-only
         # match
+        if i + 2 > n:
+            raise ValueError("lz4 block: truncated match offset")
         off = src[i] | (src[i + 1] << 8)
         i += 2
         if off == 0:
@@ -127,14 +141,19 @@ def decompress_block(src: bytes, out: bytearray) -> None:
         ml = (token & 0xF) + 4
         if (token & 0xF) == 15:
             while True:
+                if i >= n:
+                    raise ValueError("lz4 block: truncated match length")
                 x = src[i]
                 i += 1
                 ml += x
                 if x != 255:
                     break
         start = len(out) - off
-        if start < 0:
-            raise ValueError("lz4 block: match offset before output start")
+        if start < window_start:
+            raise ValueError(
+                "lz4 block: match offset reaches before the window "
+                f"(offset {off}, window has {len(out) - window_start} bytes)"
+            )
         if off >= ml:
             out += out[start : start + ml]
         else:
@@ -235,39 +254,59 @@ def compress(data: bytes) -> bytes:
 
 
 def decompress(buf: bytes) -> bytes:
-    """Decode one or more concatenated LZ4 frames (skippable frames ignored)."""
+    """Decode one or more concatenated LZ4 frames (skippable frames ignored).
+
+    Hardened against corrupt/truncated input: every multi-byte field is
+    length-checked before decoding (clean ValueError, never struct.error /
+    IndexError), a declared content size that disagrees with the decoded
+    length raises, and matches in block-INDEPENDENT frames may not reach
+    into earlier blocks' output (see decompress_block window_start)."""
     out = bytearray()
     i = 0
     n = len(buf)
+
+    def u32(at, what):
+        if at + 4 > n:
+            raise ValueError(f"lz4 frame: truncated {what}")
+        return struct.unpack_from("<I", buf, at)[0]
+
     while i < n:
-        if n - i < 4:
-            raise ValueError("lz4 frame: truncated magic")
-        magic = struct.unpack_from("<I", buf, i)[0]
+        magic = u32(i, "magic")
         i += 4
         if _SKIP_MAGIC_MIN <= magic <= _SKIP_MAGIC_MAX:
-            size = struct.unpack_from("<I", buf, i)[0]
+            size = u32(i, "skippable-frame size")
             i += 4 + size
+            if i > n:
+                raise ValueError("lz4 frame: truncated skippable frame")
             continue
         if magic != MAGIC:
             raise ValueError(f"lz4 frame: bad magic 0x{magic:08x}")
+        if i + 2 > n:
+            raise ValueError("lz4 frame: truncated frame descriptor")
         flg = buf[i]
         bd = buf[i + 1]
         if (flg >> 6) != 1:
             raise ValueError(f"lz4 frame: unsupported version {flg >> 6}")
+        block_independent = bool(flg & 0x20)
         block_checksum = bool(flg & 0x10)
-        content_size = bool(flg & 0x08)
+        has_content_size = bool(flg & 0x08)
         content_checksum = bool(flg & 0x04)
         dict_id = bool(flg & 0x01)
         if not (4 <= (bd >> 4) & 0x7 <= 7):
             raise ValueError("lz4 frame: bad block-size id")
-        desc_len = 2 + (8 if content_size else 0) + (4 if dict_id else 0)
+        desc_len = 2 + (8 if has_content_size else 0) + (4 if dict_id else 0)
+        if i + desc_len + 1 > n:
+            raise ValueError("lz4 frame: truncated frame descriptor")
+        declared_size = (
+            struct.unpack_from("<Q", buf, i + 2)[0] if has_content_size else None
+        )
         hc = buf[i + desc_len]
         if hc != (xxh32(buf[i : i + desc_len]) >> 8) & 0xFF:
             raise ValueError("lz4 frame: header checksum mismatch")
         i += desc_len + 1
         frame_start = len(out)
         while True:
-            word = struct.unpack_from("<I", buf, i)[0]
+            word = u32(i, "block size")
             i += 4
             if word == 0:  # EndMark
                 break
@@ -278,17 +317,26 @@ def decompress(buf: bytes) -> bytes:
                 raise ValueError("lz4 frame: truncated block")
             i += size
             if block_checksum:
-                want = struct.unpack_from("<I", buf, i)[0]
+                want = u32(i, "block checksum")
                 i += 4
                 if xxh32(block) != want:
                     raise ValueError("lz4 frame: block checksum mismatch")
             if stored:
                 out += block
             else:
-                decompress_block(block, out)
+                decompress_block(
+                    block,
+                    out,
+                    window_start=len(out) if block_independent else frame_start,
+                )
         if content_checksum:
-            want = struct.unpack_from("<I", buf, i)[0]
+            want = u32(i, "content checksum")
             i += 4
             if xxh32(bytes(out[frame_start:])) != want:
                 raise ValueError("lz4 frame: content checksum mismatch")
+        if declared_size is not None and len(out) - frame_start != declared_size:
+            raise ValueError(
+                "lz4 frame: content size mismatch "
+                f"(declared {declared_size}, decoded {len(out) - frame_start})"
+            )
     return bytes(out)

@@ -108,23 +108,44 @@ def _record(header: dict, data: bytes) -> bytes:
 
 
 def _parse_fields(buf: bytes) -> dict:
+    """Parse a record header's name=value fields; truncated/lying field
+    lengths raise ValueError (never a silent short slice)."""
     out = {}
     i = 0
     while i < len(buf):
+        if i + 4 > len(buf):
+            raise ValueError("rosbag: truncated field length")
         (n,) = struct.unpack_from("<I", buf, i)
         i += 4
+        if i + n > len(buf):
+            raise ValueError(
+                f"rosbag: field length {n} overruns the header "
+                f"({len(buf) - i} bytes left)"
+            )
         item = buf[i : i + n]
         i += n
         k, _, v = item.partition(b"=")
-        out[k.decode()] = v
+        out[k.decode(errors="replace")] = v
     return out
 
 
 def _read_record(buf: bytes, i: int) -> tuple[dict, bytes, int]:
+    """Read one header+data record at offset ``i``; every length field is
+    validated against the remaining bytes, so truncated records raise
+    ValueError instead of struct.error / silently-short data."""
+    n = len(buf)
+    if i + 4 > n:
+        raise ValueError("rosbag: truncated record (header length)")
     (hl,) = struct.unpack_from("<I", buf, i)
+    if i + 4 + hl > n:
+        raise ValueError(f"rosbag: record header length {hl} overruns the file")
     header = _parse_fields(buf[i + 4 : i + 4 + hl])
     i += 4 + hl
+    if i + 4 > n:
+        raise ValueError("rosbag: truncated record (data length)")
     (dl,) = struct.unpack_from("<I", buf, i)
+    if i + 4 + dl > n:
+        raise ValueError(f"rosbag: record data length {dl} overruns the file")
     data = buf[i + 4 : i + 4 + dl]
     return header, data, i + 4 + dl
 
@@ -178,37 +199,53 @@ def serialize_tf_message(transforms: list[dict]) -> bytes:
 
 
 class _Cursor:
+    """Bounds-checked little-endian reader: truncated message payloads raise
+    ValueError (never struct.error / IndexError / a silent short read)."""
+
     def __init__(self, buf: bytes):
         self.buf = buf
         self.i = 0
 
+    def _need(self, n):
+        if self.i + n > len(self.buf):
+            raise ValueError(
+                f"rosbag: truncated message (need {n} bytes at {self.i}, "
+                f"have {len(self.buf) - self.i})"
+            )
+
     def u32(self):
+        self._need(4)
         (v,) = struct.unpack_from("<I", self.buf, self.i)
         self.i += 4
         return v
 
     def u8(self):
+        self._need(1)
         v = self.buf[self.i]
         self.i += 1
         return v
 
     def time(self):
+        self._need(8)
         s, ns = struct.unpack_from("<II", self.buf, self.i)
         self.i += 8
         return s + ns * 1e-9
 
     def string(self):
         n = self.u32()
-        v = self.buf[self.i : self.i + n].decode()
+        self._need(n)
+        v = self.buf[self.i : self.i + n].decode(errors="replace")
         self.i += n
         return v
 
     def raw(self, n):
+        self._need(n)
         v = self.buf[self.i : self.i + n]
         self.i += n
         return v
 
     def f64s(self, n):
+        self._need(8 * n)
         v = struct.unpack_from(f"<{n}d", self.buf, self.i)
         self.i += 8 * n
         return v
@@ -461,11 +498,22 @@ def read_bag(path: str, topics: list[str] | None = None):
         raise ValueError(f"{path!r} is not a rosbag v2.0 file")
     conns: dict[int, tuple[str, str]] = {}  # cid -> (topic, type)
 
+    def u32_field(header, name):
+        v = header.get(name)
+        if v is None or len(v) != 4:
+            raise ValueError(f"rosbag: record missing/short {name!r} field")
+        return struct.unpack("<I", v)[0]
+
     def handle(header, data):
-        op = header["op"][0]
+        op_bytes = header.get("op", b"")
+        if len(op_bytes) != 1:
+            raise ValueError("rosbag: record missing the 1-byte op field")
+        op = op_bytes[0]
         if op == OP_CONNECTION:
-            cid = struct.unpack("<I", header["conn"])[0]
+            cid = u32_field(header, "conn")
             ch = _parse_fields(data)
+            if "topic" not in ch or "type" not in ch:
+                raise ValueError("rosbag: connection record missing topic/type")
             conns[cid] = (ch["topic"].decode(), ch["type"].decode())
         elif op == OP_CHUNK:
             comp = header.get("compression", b"none").decode()
@@ -477,13 +525,23 @@ def read_bag(path: str, topics: list[str] | None = None):
                 raise NotImplementedError(
                     f"compressed chunk ({comp}); run `rosbag decompress` first"
                 )
+            # per spec the size field is the UNcompressed chunk size; a
+            # disagreeing value means corruption (or a lying encoder)
+            if "size" in header and u32_field(header, "size") != len(data):
+                raise ValueError(
+                    f"rosbag: chunk size field {u32_field(header, 'size')} "
+                    f"!= decompressed length {len(data)}"
+                )
             j = 0
             while j < len(data):
                 h2, d2, j = _read_record(data, j)
                 yield from handle(h2, d2)
         elif op == OP_MSG:
-            cid = struct.unpack("<I", header["conn"])[0]
-            secs, nsecs = struct.unpack("<II", header["time"])
+            cid = u32_field(header, "conn")
+            t = header.get("time", b"")
+            if len(t) != 8:
+                raise ValueError("rosbag: message record missing/short time")
+            secs, nsecs = struct.unpack("<II", t)
             stamp = secs + nsecs * 1e-9
             topic, msg_type = conns.get(cid, ("?", "?"))
             if topics and topic not in topics:
