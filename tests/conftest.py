@@ -32,6 +32,49 @@ def rng():
     return np.random.default_rng(42)
 
 
+# --- test tiers --------------------------------------------------------------
+# Every test gets exactly one of the markers quick/slow/soak (registered in
+# pyproject.toml).  `pytest -m quick` is the CI-quick pass (kernel oracles +
+# one parity scenario, <10 min on the 1-CPU box); `-m "not soak"` is the
+# pre-commit pass; plain `pytest tests/` runs everything.  Modules are the
+# tier unit because the cost is compile-dominated and shared per module.
+
+SOAK_MODULES = {"test_soak"}
+SLOW_MODULES = {
+    # whole-pipeline oracle replays / randomized fuzz (minutes per scenario)
+    "test_pipeline_parity",
+    "test_pipeline_parity_fuzz",
+    "test_pipeline_parity_gated",
+    "test_pipeline_parity_multi",
+    "test_pipeline_parity_rangefinder",
+    "test_staged_step",
+    # sharded whole-step compiles (8-device shard_map programs)
+    "test_grid_step",
+    "test_fleet",
+    # many independent step compiles
+    "test_scenarios",
+    "test_dynamic_radii",
+    "test_determinism",
+    "test_stream",
+    "test_profiling_markers",
+    "test_regression",
+    "test_checkpoint",
+    "test_ros_node",
+    "test_cli_tools",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in SOAK_MODULES:
+            item.add_marker(pytest.mark.soak)
+        elif mod in SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.quick)
+
+
 def pytest_configure(config):
     """Build the native library if missing (the .so is not committed)."""
     import pathlib

@@ -82,6 +82,29 @@ class RefPipeline:
         self.det_counter = 0  # m_last_detection_id
         self.step_i = 0
 
+    # -- live-tunable stencil radii (cfg.dynamic_radii) -----------------------
+    def _ground_radius_idx(self) -> float:
+        """Clustering/close-split radius in voxels: the DynParams field when
+        cfg.dynamic_radii is on (pipeline/background.py:48-56), else the
+        static config value — the reference tunes both radii live via
+        dynamic_reconfigure (DetectionParams.cfg)."""
+        m = (
+            self.dyn.ground_points_max_distance
+            if getattr(self.cfg, "dynamic_radii", False)
+            else self.cfg.ground_points_max_distance
+        )
+        return m / self.cfg.voxel_size
+
+    def _sep_radius_idx(self) -> float:
+        """Sepclusters adjacency/demotion radius in voxels (see
+        pipeline/sepclusters.py:85-96)."""
+        m = (
+            self.dyn.sepclusters_max_bg_distance
+            if getattr(self.cfg, "dynamic_radii", False)
+            else self.cfg.sepclusters_max_bg_distance
+        )
+        return m / self.cfg.voxel_size
+
     # -- coordinate math (float32, like VoxelMap) ----------------------------
     def _coord_to_idx(self, pts):
         return np.floor(
@@ -325,7 +348,7 @@ class RefPipeline:
             self.bg_sufficient = True
 
         # 3. ECE clustering + close/far split
-        radius = cfg.ground_points_max_distance / cfg.voxel_size
+        radius = self._ground_radius_idx()
         labels, ncomp = euclidean_clusters_np(occupied, radius)
         nz, ny, nx = self.shape
         flat_ids = {}
@@ -376,7 +399,7 @@ class RefPipeline:
                     dyn.thr_new_obstacles,
                     dyn.thr_sure_obstacles,
                     dyn.sepclusters_min_sure_points,
-                    cfg.sepclusters_max_bg_distance / cfg.voxel_size,
+                    self._sep_radius_idx(),
                     dyn.score_ray,
                     float(cfg.sepclusters_every),
                     quirk_indexing=cfg.compat_counted_indexing,

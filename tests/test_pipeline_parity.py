@@ -106,14 +106,29 @@ def oracle_run(scenario):
     return out, ref
 
 
-def run_tpu(cfg, lut, scans, raycast_mode):
-    dyn = parity_dyn().as_arrays()
-    step = make_step_fn(cfg, lut, raycast_mode=raycast_mode, donate=False)
-    state = init_state(cfg, parity_dyn())
+def run_tpu(cfg, lut, scans, raycast_mode, dyn=None, mask=None,
+            raycast_every=1, dyn_schedule=None):
+    """Replay ``scans`` through the TPU step; returns ([(dets, diag)], state).
+
+    The single parity harness for every whole-pipeline parity suite (the
+    fuzz reuses it with its drawn ``dyn``/``mask``/``raycast_every`` instead
+    of duplicating the loop).  ``dyn_schedule(i, dyn) -> dyn`` optionally
+    swaps the traced params before scan ``i`` (live-tuning scenarios — no
+    recompile, config.py DynParams).
+    """
+    dyn = parity_dyn() if dyn is None else dyn
+    step = make_step_fn(
+        cfg, lut, raycast_mode=raycast_mode, donate=False, mask=mask,
+        raycast_every=raycast_every,
+    )
+    state = init_state(cfg, dyn)
+    dyn = dyn.as_arrays()
     # apriori ground plane stamped +inf, like the reference (:339-341)
     state = state._replace(grid=state.grid.at[1, :, :].set(jnp.inf))
     outs = []
-    for ranges, inten, pose in scans:
+    for i, (ranges, inten, pose) in enumerate(scans):
+        if dyn_schedule is not None:
+            dyn = dyn_schedule(i, dyn)
         scan = ScanInput(
             ranges_mm=jnp.asarray(ranges.astype(np.float32)),
             intensity=jnp.asarray(inten),

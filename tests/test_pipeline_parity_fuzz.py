@@ -29,16 +29,13 @@ position lies inside the oracle's member AABB inflated by half a voxel).
 
 import math
 
-import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from tests.ref_pipeline import RefPipeline
-from tests.test_pipeline_parity import parity_config
+from tests.test_pipeline_parity import parity_config, run_tpu
 from vofod_tpu.config import DynParams
 from vofod_tpu.io.scan_source import Scene, hover_pose, render_scan
-from vofod_tpu.pipeline.state import ScanInput, init_state
-from vofod_tpu.pipeline.step import make_step_fn
 from vofod_tpu.sensor import make_lut
 
 N_WARMUP = 12
@@ -118,30 +115,12 @@ def run_oracle(cfg, lut, dyn, scans):
 
 
 def run_tpu_exact(cfg, lut, dyn, scans, raycast_mode="exact"):
-    step = make_step_fn(cfg, lut, raycast_mode=raycast_mode, donate=False)
-    state = init_state(cfg, dyn)
-    state = state._replace(grid=state.grid.at[1, :, :].set(jnp.inf))
-    dyn_arr = dyn.as_arrays()
-    outs = []
-    for ranges, inten, pose in scans:
-        scan = ScanInput(
-            ranges_mm=jnp.asarray(ranges.astype(np.float32)),
-            intensity=jnp.asarray(inten),
-            pose=jnp.asarray(pose),
-        )
-        state, out = step(state, scan, dyn_arr)
-        dets = [
-            dict(
-                id=int(out.detections.id[k]),
-                position=np.asarray(out.detections.position[k]),
-                n_points=int(out.detections.n_points[k]),
-                confidence=float(out.detections.confidence[k]),
-            )
-            for k in range(cfg.max_clusters)
-            if bool(out.detections.valid[k])
-        ]
-        outs.append(dets)
-    return outs, state
+    """Thin wrapper over the shared parity harness (test_pipeline_parity
+    .run_tpu, which stamps the apriori ground row like the oracle side):
+    drops the diag halves so the fuzz's assertions read plain per-scan
+    detection lists."""
+    outs, state = run_tpu(cfg, lut, scans, raycast_mode, dyn=dyn)
+    return [dets for dets, _diag in outs], state
 
 
 @pytest.fixture(scope="module")
@@ -220,6 +199,7 @@ def test_randomized_sweep_error_budget(seed, oracle_cache):
 
     o_first = next((i for i, (d, _) in enumerate(oracle_out) if d), None)
     s_first = next((i for i, d in enumerate(sweep_out) if d), None)
+    assert o_first is not None, f"seed {seed}: oracle never detected"
     assert s_first is not None, f"seed {seed}: sweep mode never detected"
     latency = s_first - o_first
 
