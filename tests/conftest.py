@@ -47,6 +47,7 @@ SLOW_MODULES = {
     "test_pipeline_parity_gated",
     "test_pipeline_parity_multi",
     "test_pipeline_parity_rangefinder",
+    "test_sequential_demotion",
     "test_staged_step",
     # sharded whole-step compiles (8-device shard_map programs)
     "test_grid_step",

@@ -158,6 +158,19 @@ class VoFODConfig:
     # much cheaper and equivalent for dense real background structure.
     sepclusters_exact_census: bool = False
 
+    # sequential exploreToGround with live demotion (ref vofod_nodelet.cpp
+    # :1692-1718 + voxel_map.cpp:402-488): the reference explores cluster
+    # members one at a time in extraction order and demotes a FAILED
+    # member's explored frontier immediately, visible to every later query
+    # in the same scan (and demotions persist even when a later member
+    # connects).  The default (False) evaluates all queries independently in
+    # one batched BFS and demotes only fully-floating clusters — far faster
+    # on TPU, equivalent except when a failed member's demotions flip a
+    # later query's verdict (tests/test_sequential_demotion.py constructs
+    # that divergence; DESIGN.md §9).  True runs a lax.scan over queries in
+    # the reference's (cluster, member) order — the bit-parity instrument.
+    sequential_explore: bool = False
+
     # --- compat flags for reference quirks (SURVEY.md §7 hard-part e) -------
     # reference counts "sure" voxels over positions in the sorted index vector
     # instead of remapped point indices (voxel_grid_counted.cpp:185-187),

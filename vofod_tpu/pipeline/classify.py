@@ -204,25 +204,83 @@ def classify(
 
         return run
 
-    tiers = cfg.explore_fast_queries
-    if isinstance(tiers, int):
-        tiers = (tiers,) if tiers > 0 else ()
-    # ascending distinct capacities, max_queries always the final fallback
-    tiers = tuple(sorted({min(int(t), Q) for t in tiers if int(t) > 0}))
-    if not tiers or tiers[-1] != Q:
-        tiers = tiers + (Q,)
-    # smallest tier that fits qtotal (tiers ascend, so this counts the
-    # tiers it exceeds); overflow (qtotal > Q) stays on the full branch
-    tier_idx = jnp.sum(qtotal > jnp.asarray(tiers[:-1], jnp.int32)) if (
-        len(tiers) > 1
-    ) else jnp.int32(0)
-    branch = jnp.where(~jnp.any(qvalid), 0, 1 + tier_idx)
-    floating, new_vals = jax.lax.switch(
-        branch,
-        [lambda vals: (jnp.zeros((K,), jnp.bool_), vals)]
-        + [make_explore(t) for t in tiers],
-        grid_vals,
-    )
+    if cfg.sequential_explore:
+        # reference-faithful SEQUENTIAL explore (ref vofod_nodelet.cpp
+        # :1692-1718): queries run one at a time in the reference's
+        # (cluster extraction order, member id) order — ascending
+        # (component label, flat voxel id) — each seeing every earlier
+        # failed query's demotions, a failed query demoting its explored
+        # frontier immediately (persisting even if a later member connects),
+        # and members of an already-connected cluster skipped (the
+        # reference breaks out of its member loop on the first success).
+        # A lax.scan of single-query BFS dispatches: the parity instrument;
+        # the batched tier path below is the production mode.
+        order = jnp.lexsort((qids, qlabels))
+
+        def seq_body(carry, j):
+            vals, conn_k = carry
+            jj = order[j]
+            kmask = qslot[jj]  # [K] one-hot cluster of this query
+            already = jnp.any(kmask & conn_k)
+
+            def explore_one(args):
+                vals, conn_k = args
+                connected, reached, corners = ops.explore(
+                    grid,
+                    vals,
+                    qx[jj][None],
+                    qy[jj][None],
+                    qz[jj][None],
+                    jnp.ones((1,), jnp.bool_),
+                    m_q[jj][None],
+                    dyn.thr_frontiers,
+                    dyn.thr_new_obstacles,
+                    cfg.explore_submap,
+                )
+                c = connected[0]
+                vals = jax.lax.cond(
+                    c,
+                    lambda v: v,
+                    lambda v: ops.demote(
+                        v, reached, corners, jnp.ones((1,), jnp.bool_),
+                        dyn.thr_frontiers,
+                    ),
+                    vals,
+                )
+                return vals, conn_k | (kmask & c)
+
+            skip = (~qvalid[jj]) | already | query_overflow
+            vals, conn_k = jax.lax.cond(
+                skip, lambda a: a, explore_one, (vals, conn_k)
+            )
+            return (vals, conn_k), None
+
+        (new_vals, cluster_connected), _ = jax.lax.scan(
+            seq_body,
+            (grid_vals, jnp.zeros((K,), jnp.bool_)),
+            jnp.arange(Q),
+        )
+        floating = qgate & ~cluster_connected & ~query_overflow
+    else:
+        tiers = cfg.explore_fast_queries
+        if isinstance(tiers, int):
+            tiers = (tiers,) if tiers > 0 else ()
+        # ascending distinct capacities, max_queries always the final fallback
+        tiers = tuple(sorted({min(int(t), Q) for t in tiers if int(t) > 0}))
+        if not tiers or tiers[-1] != Q:
+            tiers = tiers + (Q,)
+        # smallest tier that fits qtotal (tiers ascend, so this counts the
+        # tiers it exceeds); overflow (qtotal > Q) stays on the full branch
+        tier_idx = jnp.sum(qtotal > jnp.asarray(tiers[:-1], jnp.int32)) if (
+            len(tiers) > 1
+        ) else jnp.int32(0)
+        branch = jnp.where(~jnp.any(qvalid), 0, 1 + tier_idx)
+        floating, new_vals = jax.lax.switch(
+            branch,
+            [lambda vals: (jnp.zeros((K,), jnp.bool_), vals)]
+            + [make_explore(t) for t in tiers],
+            grid_vals,
+        )
 
     cls = jnp.where(
         gated,
