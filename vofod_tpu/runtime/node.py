@@ -84,6 +84,7 @@ class VoFOD:
         else:
             self._step = make_step_fn(self.cfg, self.lut, **kw)
         self._binner = None
+        self._ones_dev = None  # cached all-ones intensity (see process_scan_async)
         if self.options.frontend_mode == "prebinned":
             from vofod_tpu.io.binner import HostBinner
 
@@ -163,13 +164,22 @@ class VoFOD:
             stimer.checkpoint("host bin")
             scan = b.to_device()
         else:
-            inten = (
-                np.ones(n, np.float32) if intensity is None
-                else np.asarray(intensity, np.float32).reshape(-1)
-            )
+            if intensity is None:
+                # sources without an intensity channel substitute all-ones;
+                # upload that constant ONCE and reuse the device buffer —
+                # per-scan it would be 524 KB of ones on the wire (half the
+                # raw path's transfer), and the step never donates its scan
+                # arguments, so reuse is safe
+                if self._ones_dev is None:
+                    self._ones_dev = jnp.ones(n, jnp.float32)
+                inten_dev = self._ones_dev
+            else:
+                inten_dev = jnp.asarray(
+                    np.asarray(intensity, np.float32).reshape(-1)
+                )
             scan = ScanInput(
                 ranges_mm=jnp.asarray(r.astype(np.float32)),
-                intensity=jnp.asarray(inten),
+                intensity=inten_dev,
                 pose=jnp.asarray(pose_np),
             )
         stimer.checkpoint("upload")
