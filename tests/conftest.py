@@ -62,11 +62,21 @@ SLOW_MODULES = {
     "test_checkpoint",
     "test_ros_node",
     "test_cli_tools",
+    # 8-device shard_map compiles + whole-step comparisons (measured round 4:
+    # these five were ~80% of a 37-min "quick" pass)
+    "test_sharding",
+    "test_pipeline",
+    "test_classify_fuzz",
+    "test_param_watch",
+    "test_rosbag_ingest",
 }
 
 
 def pytest_collection_modifyitems(config, items):
     for item in items:
+        # explicit in-file slow/soak markers win over the module rule
+        if item.get_closest_marker("slow") or item.get_closest_marker("soak"):
+            continue
         mod = item.module.__name__.rsplit(".", 1)[-1]
         if mod in SOAK_MODULES:
             item.add_marker(pytest.mark.soak)

@@ -140,6 +140,7 @@ class TestHostBinner:
         assert hb.bin(ranges, pose, min_intensity=1.0).active.all()
 
 
+@pytest.mark.slow  # compiles BOTH full step variants, ~2 min (round-4 tiering)
 class TestPrebinnedStep:
     def test_matches_raw_step(self):
         """Full sequence: the prebinned path must be a drop-in for the raw

@@ -262,6 +262,7 @@ class TestSweep:
         assert np.mean((ratio > 0.5) & (ratio < 2.0)) > 0.85
 
 
+@pytest.mark.slow  # two full-frame sweep compiles, ~65 s each (round-4 tiering)
 class TestSweepWindow:
     """Static max-distance window around the sensor (raycast_sweep
     max_distance_bound): in-range output must match the full-frame sweep and
