@@ -154,6 +154,80 @@ def measure_sustained(cfg, lut, scans, frontend_mode, n_total=200):
     return rate, p50, bin_p50
 
 
+def measure_sustained_fleet(cfg, lut, scans, n_streams, n_ticks=100):
+    """Sustained MULTI-STREAM serving through one chip: per tick, N raw
+    scans ride ONE stacked upload into the stream-DP batched step (the
+    serve_fleet path, parallel/sharding.make_batched_step) and one fused
+    detection readback.  On a relay-bound transport this amortizes the
+    per-message legs that cap the single-stream rate across N streams —
+    the measured serving-rate argument for fleet batching.  Returns
+    (aggregate scans/s, period p50 ms)."""
+    import jax
+    import jax.numpy as jnp
+
+    from vofod_tpu.config import DynParams
+    from vofod_tpu.parallel.sharding import (
+        init_batched_state,
+        make_batched_step,
+        make_mesh,
+    )
+    from vofod_tpu.pipeline.state import ScanInput
+
+    mesh = make_mesh(1)
+    dyn = DynParams().as_arrays()
+    bstep = make_batched_step(cfg, lut, mesh, frontend_mode="raw")
+    state = init_batched_state(cfg, DynParams(), n_streams, mesh)
+    g = apriori_ground(cfg)
+    ixs = np.floor(
+        (g - np.array(cfg.grid_origin)) / cfg.voxel_size
+    ).astype(int)
+    vals = np.array(jax.device_get(state.grid))
+    vals[:, ixs[:, 2], ixs[:, 1], ixs[:, 0]] = np.inf
+    state = state._replace(grid=jnp.asarray(vals))
+    ones = jnp.ones((n_streams, cfg.sensor.n_points), jnp.float32)
+
+    def tick_scan(k):
+        rs = np.stack(
+            [
+                scans[(k + i) % len(scans)][0].astype(np.float32)
+                for i in range(n_streams)
+            ]
+        )
+        ps = np.stack(
+            [scans[(k + i) % len(scans)][1] for i in range(n_streams)]
+        )
+        return ScanInput(
+            ranges_mm=jnp.asarray(rs), intensity=ones, pose=jnp.asarray(ps)
+        )
+
+    for k in range(16):  # compile + converge
+        state, out = bstep(state, tick_scan(k), dyn)
+    jax.block_until_ready(state)
+    d = jax.device_get(out.diag)
+    assert bool(np.all(d.bg_sufficient)), "fleet bench must be converged"
+
+    periods = []
+    pending = None
+    t_prev = None
+    t0 = time.perf_counter()
+    for k in range(n_ticks):
+        sc = tick_scan(k)
+        new_state, out = bstep(state, sc, dyn)
+        state = new_state
+        if pending is not None:
+            _ = jax.device_get(pending)  # fused detections readback
+            now = time.perf_counter()
+            if t_prev is not None:
+                periods.append(now - t_prev)
+            t_prev = now
+        pending = out.detections
+    _ = jax.device_get(pending)
+    total = time.perf_counter() - t0
+    rate = n_ticks * n_streams / total
+    p50 = float(np.percentile(np.array(periods) * 1e3, 50))
+    return rate, p50
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -171,6 +245,27 @@ def main():
         else 0
     )  # >0: N independent streams on this chip via the stream-DP scan path
     skip_sustained = "--device-only" in sys.argv
+    n_fleet = (
+        int(sys.argv[sys.argv.index("--sustained-fleet") + 1])
+        if "--sustained-fleet" in sys.argv
+        else 0
+    )  # >0: sustained N-stream serving (one upload/dispatch/readback per tick)
+
+    if n_fleet:
+        from vofod_tpu.config import VoFODConfig as _C
+
+        cfg = _C(sepclusters_every=10)
+        lut = make_lut(cfg.sensor)
+        cycle = make_scan_cycle(cfg, lut, 24)
+        rate, p50 = measure_sustained_fleet(cfg, lut, cycle, n_fleet)
+        print(json.dumps({
+            "metric": f"sustained_fleet{n_fleet}_scans_per_sec",
+            "value": round(rate, 2),
+            "unit": "scans/s",
+            "vs_baseline": round(rate / 10.0, 2),
+            "period_p50_ms": round(p50, 2),
+        }))
+        return
 
     # sepclusters_every=10: the reference runs separated-background
     # maintenance on a FIXED 10 Hz thread regardless of scan rate
@@ -316,6 +411,13 @@ def main():
         out["ingest_mode_chosen"] = chosen
         out["sustained_stream_scans_per_sec"] = round(rates[chosen], 2)
         out["n_sustained"] = 200
+        # fleet batching amortizes the per-message relay legs that bound the
+        # single-stream rate: N scans ride one stacked upload + one dispatch
+        # + one fused readback per tick (measured 21.5 -> 66.8 (N=4) -> 91.3
+        # (N=8) scans/s aggregate through the tunnel, round 4)
+        frate, fp50 = measure_sustained_fleet(cfg, lut, stream_cycle, 4)
+        out["sustained_fleet4_scans_per_sec"] = round(frate, 2)
+        out["sustained_fleet4_period_p50_ms"] = round(fp50, 2)
 
     print(json.dumps(out))
 
