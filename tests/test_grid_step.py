@@ -398,6 +398,47 @@ class TestGridShardedStep:
                     )
         assert int(jnp.sum(ref_out.detections.valid)) >= 1
 
+    def test_sequential_explore_bitexact_vs_unsharded(self, mesh):
+        """cfg.sequential_explore (the round-4 demotion-coupling parity
+        instrument, pipeline/classify.py) composes with grid sharding: the
+        lax.scan of single-query BFS dispatches runs inside shard_map — the
+        per-query psum'd connected verdict and the halo-folded per-failure
+        demotions are replicated, so every shard branches in lockstep — and
+        must match the dense sequential step bit-for-bit through a sequence
+        with real explore failures and demotions (a floating target)."""
+        cfg = sharded_config(sequential_explore=True)
+        dyn = DynParams(raycast_weight_coefficient=0.5)
+        lut = make_lut(cfg.sensor)
+        pose = hover_pose((0.0, 0.0, 6.0))
+        ground = Scene(ground_z=0.5)
+        target = Scene(ground_z=0.5)
+        target.add_sphere(center=(4.0, 0.0, 9.0), radius=0.7)
+        scans = [self._scan(cfg, lut, ground, pose)] * 4 + [
+            self._scan(cfg, lut, target, pose)
+        ] * 3
+
+        ref_step = make_step_fn(cfg, lut, donate=False)
+        ref_state = init_state(cfg, dyn)
+        ref_state = ref_state._replace(grid=ref_state.grid.at[1].set(0.0))
+        sh_step = make_grid_sharded_step(cfg, lut, mesh)
+        sh_state = shard_state(ref_state, mesh)
+
+        n_det = 0
+        for i, scan in enumerate(scans):
+            ref_state, ref_out = ref_step(ref_state, scan, dyn.as_arrays())
+            sh_state, sh_out = sh_step(sh_state, scan, dyn.as_arrays())
+            np.testing.assert_array_equal(
+                np.asarray(sh_state.grid), np.asarray(ref_state.grid),
+                err_msg=f"step {i}: grid diverged (demotions?)",
+            )
+            np.testing.assert_array_equal(
+                np.asarray(sh_out.detections.valid),
+                np.asarray(ref_out.detections.valid),
+                err_msg=f"step {i}: detections diverged",
+            )
+            n_det += int(jnp.sum(ref_out.detections.valid))
+        assert n_det >= 1  # the target was classified (explore really ran)
+
     def test_dynamic_radii_bitexact_vs_dense(self, mesh):
         """cfg.dynamic_radii composes with the grid-sharded step: the traced
         pools halo at the STATIC bound and gate taps by the traced r², so
