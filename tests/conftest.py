@@ -43,6 +43,7 @@ SOAK_MODULES = {"test_soak"}
 SLOW_MODULES = {
     # whole-pipeline oracle replays / randomized fuzz (minutes per scenario)
     "test_pipeline_parity",
+    "test_pipeline_parity_border",
     "test_pipeline_parity_fuzz",
     "test_pipeline_parity_gated",
     "test_pipeline_parity_multi",
