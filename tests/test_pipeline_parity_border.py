@@ -25,6 +25,7 @@ Construction notes (what bounds the geometry):
   lattice, so nz=20 clamps roughly half the detecting scans).
 """
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -36,6 +37,13 @@ from tests.test_pipeline_parity import (
     run_tpu,
 )
 from vofod_tpu.config import Box
+from vofod_tpu.parallel.grid_step import (
+    make_grid_mesh,
+    make_grid_sharded_step,
+    shard_state,
+)
+from vofod_tpu.pipeline.state import ScanInput, init_state
+from vofod_tpu.sensor import make_lut
 
 
 @pytest.fixture(scope="module")
@@ -54,15 +62,15 @@ def border_runs():
     ref.vmap[1, :, :] = np.inf  # apriori ground row (ref :339-341)
     oracle_out = [ref.step(r, inten, p) for r, inten, p in scans]
 
-    tpu_out, _ = run_tpu(cfg, lut, scans, raycast_mode="exact")
-    return cfg, oracle_out, tpu_out
+    tpu_out, tpu_state = run_tpu(cfg, lut, scans, raycast_mode="exact")
+    return cfg, lut, scans, oracle_out, tpu_out, tpu_state
 
 
 class TestBorderClusterParity:
     def test_clamp_actually_engages(self, border_runs):
         """Non-vacuity: the scenario must produce detections whose inflated
         AABB clamps at the grid's z-hi border (hi_idx + 2 > nz - 1)."""
-        cfg, oracle_out, _ = border_runs
+        cfg, _, _, oracle_out, _, _ = border_runs
         nz = cfg.grid_shape[0]
         origin = np.array(cfg.grid_origin)
         det_scans = [d for d, _ in oracle_out if d]
@@ -81,7 +89,7 @@ class TestBorderClusterParity:
         )
 
     def test_detections_match(self, border_runs):
-        _, oracle_out, tpu_out = border_runs
+        _, _, _, oracle_out, tpu_out, _ = border_runs
         for i, ((odets, _), (tdets, _)) in enumerate(
             zip(oracle_out, tpu_out)
         ):
@@ -108,3 +116,61 @@ class TestBorderClusterParity:
                     od["detection_probability"],
                     rtol=1e-4,
                 )
+
+    def test_sharded_step_matches_dense(self, border_runs):
+        """The clamp branch composes with grid sharding: the same scenario
+        through the Z-sharded exact step (4-way mesh, nz=20 -> shard height
+        5) must agree with the dense run — detections per scan (ids/
+        n_points equal, floats to the last-ulp fusion budget of
+        test_grid_step) and the final grid bit-for-bit.  This drives
+        ZShardOps.submaps3's padded dynamic_slice with a window crossing
+        the GLOBAL z edge on the last shard, which no interior scenario
+        reaches."""
+        cfg, lut, scans, _, tpu_out, tpu_state = border_runs
+        mesh = make_grid_mesh(4)
+        dyn = parity_dyn()
+        sh_step = make_grid_sharded_step(cfg, lut, mesh, raycast_mode="exact")
+        state = init_state(cfg, dyn)
+        state = state._replace(grid=state.grid.at[1, :, :].set(jnp.inf))
+        state = shard_state(state, mesh)
+        dyn = dyn.as_arrays()
+        for i, (ranges, inten, pose) in enumerate(scans):
+            scan = ScanInput(
+                ranges_mm=jnp.asarray(ranges.astype(np.float32)),
+                intensity=jnp.asarray(inten),
+                pose=jnp.asarray(pose),
+            )
+            state, out = sh_step(state, scan, dyn)
+            sdets = [
+                dict(
+                    id=int(out.detections.id[k]),
+                    position=np.asarray(out.detections.position[k]),
+                    n_points=int(out.detections.n_points[k]),
+                    confidence=float(out.detections.confidence[k]),
+                )
+                for k in range(cfg.max_clusters)
+                if bool(out.detections.valid[k])
+            ]
+            ddets, _ = tpu_out[i]
+            assert len(sdets) == len(ddets), (
+                f"scan {i}: sharded {len(sdets)} detections vs dense "
+                f"{len(ddets)}"
+            )
+            ssort = sorted(sdets, key=lambda d: tuple(d["position"]))
+            dsort = sorted(ddets, key=lambda d: tuple(d["position"]))
+            for sd, dd in zip(ssort, dsort):
+                assert sd["id"] == dd["id"], f"scan {i}"
+                assert sd["n_points"] == dd["n_points"], f"scan {i}"
+                np.testing.assert_allclose(
+                    sd["position"], dd["position"], rtol=1e-5, atol=1e-7,
+                    err_msg=f"scan {i}: sharded position",
+                )
+                # the clamped submap sum is the branch under test
+                np.testing.assert_allclose(
+                    sd["confidence"], dd["confidence"], rtol=1e-5,
+                    err_msg=f"scan {i}: sharded clamped confidence",
+                )
+        np.testing.assert_array_equal(
+            np.asarray(state.grid), np.asarray(tpu_state.grid),
+            err_msg="final grid diverged between sharded and dense",
+        )
