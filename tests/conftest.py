@@ -53,6 +53,7 @@ SLOW_MODULES = {
     # sharded whole-step compiles (8-device shard_map programs)
     "test_grid_step",
     "test_fleet",
+    "test_fleet_grid",
     # many independent step compiles
     "test_scenarios",
     "test_dynamic_radii",

@@ -35,6 +35,12 @@ Every output matches the unsharded step BIT-FOR-BIT (tests/test_grid_step.py
 asserts exact equality of grids, detections and diagnostics on an 8-device
 mesh), so the sharded step is a drop-in for oversized operation areas.
 
+The module also composes BOTH scaling axes: :func:`make_fleet_grid_step`
+runs N data-parallel streams, each with its grid Z-sharded, in one
+shard_map over a 2D (data, grid) mesh — a fleet sharing one beyond-HBM map
+geometry on a pod slice (tests/test_fleet_grid.py pins per-stream
+bit-equality with the dense step).
+
 Cost model (v5e): steady-state halo traffic per step is ~stencil_sweeps ×
 2r × ny × nx × 4 B ≈ a few MB over ICI — negligible against the ~ms of
 stencil compute it overlaps with.  The z-cone pipeline is the one
@@ -92,31 +98,7 @@ def shard_state(state: VoFODState, mesh: Mesh, axis: str = "grid") -> VoFODState
     )
 
 
-def make_grid_sharded_step(
-    cfg: VoFODConfig,
-    lut: XyzLut,
-    mesh: Mesh,
-    axis: str = "grid",
-    zcone_mode: str = "pipelined",
-    **step_kw,
-):
-    """Build the jitted Z-sharded step (same signature as make_step_fn's
-    product: ``(state, scan, dyn) -> (state, StepOutput)`` with state grids
-    sharded ``P(axis, None, None)`` and everything else replicated).
-
-    Requires ``nz % mesh.shape[axis] == 0`` (pad the operation-area height to
-    a multiple — the extra planes are inert) and a shard height of at least
-    2 planes for the sweep's lateral halo taps.
-
-    ``zcone_mode`` selects the sweep raycast's z-cone strategy (bit-identical
-    results either way, ops/raycast.py raycast_sweep_zsharded): "pipelined"
-    replays the full-plane scan once per shard (minimal ICI, compute
-    replicated n×); "transpose" all_to_alls the cone volume to
-    lateral-sharded and back so per-shard z-cone FLOPs drop n× — prefer it
-    once n is large enough that the replicated full-plane z scan rivals the
-    sharded x/y group's per-shard work (n ≳ 3 on the flagship geometry).
-    """
-    n = int(mesh.shape[axis])
+def _validate_grid_sharding(cfg: VoFODConfig, n: int, axis: str) -> None:
     nz, _, _ = cfg.grid_shape
     if nz % n:
         raise ValueError(
@@ -148,6 +130,33 @@ def make_grid_sharded_step(
         # _quirk_sure_counts_sharded) — it replicates one int32 rank table
         # of the full grid size, a documented parity-mode cost
 
+
+def make_grid_sharded_step(
+    cfg: VoFODConfig,
+    lut: XyzLut,
+    mesh: Mesh,
+    axis: str = "grid",
+    zcone_mode: str = "pipelined",
+    **step_kw,
+):
+    """Build the jitted Z-sharded step (same signature as make_step_fn's
+    product: ``(state, scan, dyn) -> (state, StepOutput)`` with state grids
+    sharded ``P(axis, None, None)`` and everything else replicated).
+
+    Requires ``nz % mesh.shape[axis] == 0`` (pad the operation-area height to
+    a multiple — the extra planes are inert) and a shard height of at least
+    2 planes for the sweep's lateral halo taps.
+
+    ``zcone_mode`` selects the sweep raycast's z-cone strategy (bit-identical
+    results either way, ops/raycast.py raycast_sweep_zsharded): "pipelined"
+    replays the full-plane scan once per shard (minimal ICI, compute
+    replicated n×); "transpose" all_to_alls the cone volume to
+    lateral-sharded and back so per-shard z-cone FLOPs drop n× — prefer it
+    once n is large enough that the replicated full-plane z scan rivals the
+    sharded x/y group's per-shard work (n ≳ 3 on the flagship geometry).
+    """
+    n = int(mesh.shape[axis])
+    _validate_grid_sharding(cfg, n, axis)
     ops = ZShardOps(axis, n, zcone_mode=zcone_mode)
     step = make_step_fn(
         cfg, lut, donate=False, jit=False, ops=ops, **step_kw
@@ -179,3 +188,156 @@ def make_grid_mesh(n_devices: int | None = None, axis: str = "grid") -> Mesh:
     devs = jax.devices()
     nd = n_devices or len(devs)
     return Mesh(np.array(devs[:nd]), (axis,))
+
+
+# =============================================================================
+# 2D composition: stream data-parallelism x grid sharding
+# =============================================================================
+
+
+def make_fleet_grid_mesh(
+    n_data: int,
+    n_grid: int,
+    data_axis: str = "data",
+    grid_axis: str = "grid",
+) -> Mesh:
+    """2D device mesh: ``n_data`` stream groups x ``n_grid`` grid shards.
+
+    The grid axis is the mesh's MINOR (fastest-varying) dimension so the
+    per-step halo/ppermute traffic of one stream's grid shards rides
+    adjacent-device ICI links; stream groups never communicate.
+    """
+    devs = jax.devices()
+    need = n_data * n_grid
+    if len(devs) < need:
+        raise ValueError(
+            f"mesh {n_data}x{n_grid} needs {need} devices, have {len(devs)}"
+        )
+    return Mesh(
+        np.array(devs[:need]).reshape(n_data, n_grid), (data_axis, grid_axis)
+    )
+
+
+def _fleet_state_specs(data_axis: str, grid_axis: str) -> VoFODState:
+    # per-stream leading dim shards over `data_axis`; the dense grids
+    # additionally shard their Z axis over `grid_axis`
+    return jax.tree.map(
+        lambda sp: P(data_axis, *sp), _state_specs(grid_axis)
+    )
+
+
+def init_fleet_grid_state(
+    cfg: VoFODConfig,
+    dyn: DynParams,
+    batch: int,
+    mesh: Mesh,
+    data_axis: str = "data",
+    grid_axis: str = "grid",
+) -> VoFODState:
+    """``batch`` detector states, stream-sharded over ``data_axis`` with each
+    stream's dense grids Z-sharded over ``grid_axis``.  Jitted initializer
+    with explicit out_shardings (multi-host safe, like
+    sharding.init_batched_state)."""
+    specs = _fleet_state_specs(data_axis, grid_axis)
+    shardings = jax.tree.map(lambda sp: NamedSharding(mesh, sp), specs)
+
+    def _init() -> VoFODState:
+        import jax.numpy as jnp
+
+        s0 = init_state(cfg, dyn)
+        return jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape), s0
+        )
+
+    return jax.jit(_init, out_shardings=shardings)()
+
+
+def make_fleet_grid_step(
+    cfg: VoFODConfig,
+    lut: XyzLut,
+    mesh: Mesh,
+    data_axis: str = "data",
+    grid_axis: str = "grid",
+    zcone_mode: str = "pipelined",
+    **step_kw,
+):
+    """Both scaling axes in ONE program: N sensor streams data-parallel over
+    ``data_axis``, each stream's oversized operation area Z-sharded over
+    ``grid_axis`` — a fleet of UAVs sharing one beyond-HBM map geometry on a
+    pod slice (reference scope: one map, one machine — vofod_nodelet.cpp
+    holds a single VoxelMap under a mutex; SURVEY.md §5 scaling axis).
+
+    Signature: ``(state, scans, dyn) -> (state, outs)`` where every scan/out
+    leaf carries a leading stream dim B (divisible by the data-axis size).
+    Each device owns B/n_data streams x nz/n_grid grid planes.  The body is
+    the grid-sharded step of :func:`make_grid_sharded_step` (ZShardOps
+    collectives resolve against ``grid_axis`` inside the 2D shard_map, so
+    halos/psums stay within one stream group's grid shards) wrapped in the
+    per-shard stream lax.scan of sharding.make_batched_step — zero
+    cross-stream traffic, bit-identical per-stream results to the 1D
+    grid-sharded step (tests/test_fleet_grid.py).
+    """
+    n_g = int(mesh.shape[grid_axis])
+    n_d = int(mesh.shape[data_axis])
+    _validate_grid_sharding(cfg, n_g, grid_axis)
+    if cfg.sequential_explore:
+        raise ValueError(
+            "sequential_explore (the demotion-coupling parity instrument) "
+            "cannot compose with the 2D streams×grid mesh: its per-query "
+            "cond branches contain collectives and diverge across stream "
+            "groups (SPMD lockstep) — run parity studies on the 1D "
+            "grid-sharded step instead"
+        )
+    # lockstep_axes: collective-bearing control flow (fixpoint while_loops,
+    # the explore tier switch, demote conds) must agree across stream groups,
+    # or a group that stops iterating early deadlocks the others' collective
+    # rendezvous — see gridops.DenseOps control-flow reduction notes
+    ops = ZShardOps(
+        grid_axis, n_g, zcone_mode=zcone_mode, lockstep_axes=(data_axis,)
+    )
+    step = make_step_fn(cfg, lut, donate=False, jit=False, ops=ops, **step_kw)
+
+    sspec = _fleet_state_specs(data_axis, grid_axis)
+    if step_kw.get("frontend_mode") == "prebinned":
+        from vofod_tpu.pipeline.state import PrebinnedScan
+
+        scan_spec = PrebinnedScan(
+            packed=P(data_axis, grid_axis, None, None),
+            active=P(data_axis),
+            pose=P(data_axis),
+            stats=P(data_axis),
+        )
+    else:
+        scan_spec = P(data_axis)
+
+    def local_block(state_blk, scan_blk, dyn):
+        # leaves carry leading dim B/n_data (this device's streams); each
+        # stream steps its LOCAL grid shard, with grid-axis collectives
+        def body(_, args):
+            st, sc = args
+            new_st, out = step(st, sc, dyn)
+            return None, (new_st, out)
+
+        _, (new_states, outs) = jax.lax.scan(body, None, (state_blk, scan_blk))
+        return new_states, outs
+
+    sharded = shard_map(
+        local_block,
+        mesh=mesh,
+        in_specs=(sspec, scan_spec, P()),
+        out_specs=(sspec, P(data_axis)),
+        # per-stream outputs are replicated across the grid axis by
+        # construction (psum/pmax inside the step); the checker cannot see
+        # through psum-carried while loops
+        check_vma=False,
+    )
+
+    def checked(state, scans, dyn):
+        b = jax.tree.leaves(scans)[0].shape[0]
+        if b % n_d:
+            raise ValueError(
+                f"batch {b} not divisible by data-axis size {n_d}"
+            )
+        return sharded(state, scans, dyn)
+
+    return jax.jit(checked, donate_argnums=(0,))

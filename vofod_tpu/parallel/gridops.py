@@ -81,6 +81,24 @@ class DenseOps:
     def gmax(self, x: Array) -> Array:
         return jnp.max(x)
 
+    # ---- control-flow reductions ---------------------------------------------
+    # Predicates that pick a lax.cond/switch branch or continue a while_loop
+    # whose body contains COLLECTIVES must agree on every device of the mesh,
+    # not just this detector's grid shards: under the 2D streams×grid
+    # composition (grid_step.make_fleet_grid_step) a stream group that stops
+    # iterating early stops issuing its collectives, and the other groups'
+    # collective rendezvous never completes (SPMD lockstep).  ``ctrl_any`` /
+    # ``ctrl_branch`` therefore reduce over the grid axis PLUS any lockstep
+    # axes; extra fixpoint sweeps / larger explore tiers forced on
+    # already-converged streams are no-ops, so results stay bit-identical
+    # (tier-ladder invariance: tests/test_classify_fuzz.py).
+
+    def ctrl_any(self, x: Array) -> Array:
+        return jnp.any(x)
+
+    def ctrl_branch(self, b: Array) -> Array:
+        return b
+
     # ---- stencils -----------------------------------------------------------
     # ``traced_r2``: optional TRACED squared radius (index units) — ``radius``
     # then acts as the static compile bound and taps are gated by an r²
@@ -198,13 +216,23 @@ class ZShardOps:
 
     is_sharded = True
 
-    def __init__(self, axis: str, n: int, zcone_mode: str = "pipelined"):
+    def __init__(
+        self,
+        axis: str,
+        n: int,
+        zcone_mode: str = "pipelined",
+        lockstep_axes: tuple = (),
+    ):
         if zcone_mode not in ("pipelined", "transpose"):
             raise ValueError(f"unknown zcone_mode {zcone_mode!r}")
         self.axis = axis
         self.n = n
         self.zcone_mode = zcone_mode
-        self.cache_key = ("zshard", axis, n, zcone_mode)
+        # extra mesh axes that must stay in lockstep through collective-
+        # bearing control flow (the "data" axis of the 2D streams×grid
+        # composition; see DenseOps control-flow reduction notes)
+        self.lockstep_axes = tuple(lockstep_axes)
+        self.cache_key = ("zshard", axis, n, zcone_mode, self.lockstep_axes)
 
     # ---- shard topology helpers ----------------------------------------------
     def _z0_rows(self, nzl: int) -> Array:
@@ -295,6 +323,17 @@ class ZShardOps:
     def gmax(self, x: Array) -> Array:
         return lax.pmax(jnp.max(x), self.axis)
 
+    def ctrl_any(self, x: Array) -> Array:
+        axes = (self.axis,) + self.lockstep_axes
+        return lax.psum(jnp.any(x).astype(jnp.int32), axes) > 0
+
+    def ctrl_branch(self, b: Array) -> Array:
+        # branch selectors are already replicated across the grid axis (they
+        # derive from compact()/psum outputs); align them across stream groups
+        if self.lockstep_axes:
+            return lax.pmax(b, self.lockstep_axes)
+        return b
+
     # ---- stencils ---------------------------------------------------------------
     # ``traced_r2`` as in DenseOps: the halo width comes from the STATIC bound
     # ``radius`` (traced radii never exceed it by construction), so the
@@ -378,19 +417,25 @@ class ZShardOps:
         )
         labels = jnp.where(occ, flat, SENTINEL)
 
+        # the loop-continue flag reduces over grid AND lockstep axes (the body
+        # pools -> halo-exchanges, a collective: every device of the mesh must
+        # agree on the trip count); the per-detector convergence verdict stays
+        # grid-local — extra sweeps past a detector's fixpoint are no-ops, so
+        # its local flag is False there and the verdict matches the dense twin
         def cond(state):
-            _, changed, it = state
-            return changed & (it < max_iters)
+            _, cont, _, it = state
+            return cont & (it < max_iters)
 
         def body(state):
-            labels, _, it = state
+            labels, _, _, it = state
             pooled = self.pool_min(labels, radius)
             new = jnp.where(occ, jnp.minimum(labels, pooled), SENTINEL)
-            return new, self.gany(new != labels), it + 1
+            diff = new != labels
+            return new, self.ctrl_any(diff), self.gany(diff), it + 1
 
-        state = (labels, jnp.bool_(True), jnp.int32(0))
-        labels, changed, _ = lax.while_loop(cond, body, state)
-        return labels, ~changed
+        state = (labels, jnp.bool_(True), jnp.bool_(True), jnp.int32(0))
+        labels, _, changed_l, _ = lax.while_loop(cond, body, state)
+        return labels, ~changed_l
 
     def label_census(self, labels, vals, ncv: int):
         """Per-component census across shards: shard-local scatter into the
@@ -410,12 +455,14 @@ class ZShardOps:
         occ = occupied.astype(jnp.bool_)
         cur = occ & seed.astype(jnp.bool_)
 
+        # continue-flag over grid+lockstep axes, per-detector verdict local
+        # (same reasoning as label_components above)
         def cond(state):
-            _, changed, it = state
-            return changed & (it < max_iters)
+            _, cont, _, it = state
+            return cont & (it < max_iters)
 
         def body(state):
-            cur, _, it = state
+            cur, _, _, it = state
             grown = occ & (
                 self.pool_max(
                     cur.astype(jnp.int8), radius, fill=0, traced_r2=traced_r2
@@ -423,11 +470,12 @@ class ZShardOps:
                 > 0
             )
             new = cur | grown
-            return new, self.gany(new != cur), it + 1
+            diff = new != cur
+            return new, self.ctrl_any(diff), self.gany(diff), it + 1
 
-        state = (cur, jnp.bool_(True), jnp.int32(0))
-        cur, changed, _ = lax.while_loop(cond, body, state)
-        return cur, ~changed
+        state = (cur, jnp.bool_(True), jnp.bool_(True), jnp.int32(0))
+        cur, _, changed_l, _ = lax.while_loop(cond, body, state)
+        return cur, ~changed_l
 
     # ---- histogram scatter -------------------------------------------------------
     def scatter_add(self, grid: GridSpec, fid: Array, w: Array) -> Array:

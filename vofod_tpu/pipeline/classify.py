@@ -192,8 +192,12 @@ def classify(
             # conservative
             floating = qgate & ~cluster_connected & ~query_overflow
             demote = qvalid[:n] & jnp.any(qslot[:n] & floating[None, :], axis=1)
+            # ctrl_any: under the 2D streams×grid composition the demote
+            # branch (halo-exchange collectives) must run on every stream
+            # group whenever ANY group demotes — a no-op where demote is
+            # all-false (apply_demotions writes only masked submaps)
             new_vals = jax.lax.cond(
-                jnp.any(demote),
+                ops.ctrl_any(demote),
                 lambda v: ops.demote(
                     v, reached, corners, demote, dyn.thr_frontiers
                 ),
@@ -274,7 +278,15 @@ def classify(
         tier_idx = jnp.sum(qtotal > jnp.asarray(tiers[:-1], jnp.int32)) if (
             len(tiers) > 1
         ) else jnp.int32(0)
-        branch = jnp.where(~jnp.any(qvalid), 0, 1 + tier_idx)
+        # ctrl_branch aligns the tier choice across lockstep (stream) groups —
+        # running a LARGER tier than a stream needs is result-invariant (the
+        # tier-ladder property, tests/test_classify_fuzz.py
+        # test_explore_tier_ladder_invariance), and branch 0 equals a
+        # tier run with zero valid queries, so forcing the max branch
+        # everywhere only costs the slowest stream's tier
+        branch = ops.ctrl_branch(
+            jnp.where(~jnp.any(qvalid), 0, 1 + tier_idx)
+        )
         floating, new_vals = jax.lax.switch(
             branch,
             [lambda vals: (jnp.zeros((K,), jnp.bool_), vals)]

@@ -43,6 +43,11 @@ import numpy as np
 from vofod_tpu.config import DynParams, VoFODConfig
 from vofod_tpu.geometry import GridSpec
 from vofod_tpu.io.msgs import Detection, Detections, Header
+from vofod_tpu.parallel.grid_step import (
+    init_fleet_grid_state,
+    make_fleet_grid_mesh,
+    make_fleet_grid_step,
+)
 from vofod_tpu.parallel.sharding import (
     init_batched_state,
     make_batched_step,
@@ -76,18 +81,52 @@ class FleetVoFOD:
         dyn: DynParams | None = None,
         n_streams: int | None = None,
         mesh=None,
+        grid_shards: int = 1,
         **step_kw,
     ):
+        """``grid_shards > 1`` engages the 2D streams×grid composition
+        (parallel/grid_step.make_fleet_grid_step): every stream's dense
+        grids additionally shard along Z over ``grid_shards`` devices — the
+        fleet shape for operation areas beyond one chip's HBM.  The mesh
+        then spans n_data × grid_shards devices with grid minor."""
         self.cfg = cfg or VoFODConfig()
         self.dyn = dyn or DynParams()
-        self.mesh = mesh or make_mesh()
-        self.n_streams = n_streams or self.mesh.devices.size
-        if self.n_streams % self.mesh.devices.size != 0:
-            raise ValueError("n_streams must be a multiple of the mesh size")
+        self.grid_shards = int(grid_shards)
+        if mesh is None:
+            if self.grid_shards > 1:
+                n_data = len(jax.devices()) // self.grid_shards
+                mesh = make_fleet_grid_mesh(n_data, self.grid_shards)
+            else:
+                mesh = make_mesh()
+        self.mesh = mesh
+        n_data = int(self.mesh.shape["data"])
+        self.n_streams = n_streams or n_data
+        if self.n_streams % n_data != 0:
+            raise ValueError(
+                "n_streams must be a multiple of the mesh's data-axis size"
+            )
         self.grid_spec = GridSpec.from_config(self.cfg)
         self.lut = make_lut(self.cfg.sensor)
-        self._step = make_batched_step(self.cfg, self.lut, self.mesh, **step_kw)
-        self.state = init_batched_state(self.cfg, self.dyn, self.n_streams, self.mesh)
+        if self.grid_shards > 1:
+            self._step = make_fleet_grid_step(
+                self.cfg, self.lut, self.mesh, **step_kw
+            )
+            self.state = init_fleet_grid_state(
+                self.cfg, self.dyn, self.n_streams, self.mesh
+            )
+            from jax.sharding import PartitionSpec as P
+
+            self._grid_pspec = P("data", "grid", None, None)
+        else:
+            self._step = make_batched_step(
+                self.cfg, self.lut, self.mesh, **step_kw
+            )
+            self.state = init_batched_state(
+                self.cfg, self.dyn, self.n_streams, self.mesh
+            )
+            from jax.sharding import PartitionSpec as P
+
+            self._grid_pspec = P("data")
         self.last_diag = None
         self._apriori_upd = None
 
@@ -199,7 +238,7 @@ class FleetVoFOD:
         sel = np.zeros((self.n_streams,), bool)
         sel[np.arange(self.n_streams) if stream is None else [stream]] = True
         if self._apriori_upd is None:
-            sharding = NamedSharding(self.mesh, P("data"))
+            sharding = NamedSharding(self.mesh, self._grid_pspec)
             rep = NamedSharding(self.mesh, P())
 
             def _upd(grid, m, s):
@@ -223,10 +262,18 @@ def _host_local_rows(arr, n_rows: int) -> tuple[list[int], np.ndarray]:
     shards = sorted(arr.addressable_shards, key=lambda s: s.index[0].start or 0)
     ids: list[int] = []
     blocks = []
+    seen: set[int] = set()
     for s in shards:
         sl = s.index[0]
+        start = sl.start or 0
+        if start in seen:
+            # under the 2D streams×grid mesh, detection leaves are sharded
+            # over "data" only — each stream group's rows are replicated on
+            # its grid-axis devices; take one copy
+            continue
+        seen.add(start)
         stop = n_rows if sl.stop is None else sl.stop
-        ids.extend(range(sl.start or 0, stop))
+        ids.extend(range(start, stop))
         blocks.append(np.asarray(s.data))
     return ids, np.concatenate(blocks, axis=0)
 

@@ -59,6 +59,10 @@ def main(argv=None):
     ap.add_argument("--sensor", default="", help="sensors/*.yaml")
     ap.add_argument("--map", dest="map_yaml", default="",
                     help="apriori_maps/*.yaml")
+    ap.add_argument("--grid-shards", type=int, default=1,
+                    help="Z-shard every stream's grid over this many devices "
+                    "(the 2D streams×grid mesh for beyond-HBM operation "
+                    "areas; nz must be divisible by it)")
     ap.add_argument("--small-capacities", action="store_true")
     ap.add_argument("--json", action="store_true", help="JSON lines output")
     # multi-host (runtime/fleet.py runbook)
@@ -114,7 +118,10 @@ def main(argv=None):
             "number (see module docstring)"
         )
 
-    fleet = FleetVoFOD(cfg, dyn, n_streams=args.streams or None)
+    fleet = FleetVoFOD(
+        cfg, dyn, n_streams=args.streams or None,
+        grid_shards=args.grid_shards,
+    )
     local = fleet.local_streams
     n_pts = cfg.sensor.n_points
 
