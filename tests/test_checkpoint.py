@@ -113,6 +113,38 @@ class TestSaveRestore:
         back = restore_state(p2, init_state(cfg))
         assert_state_equal(back, dense)
 
+    def test_fleet_grid_2d_roundtrip(self, tmp_path):
+        """The 2D streams×grid fleet state (batch over "data", grid Z over
+        "grid") checkpoints and restores with both sharding axes intact —
+        resume works for the pod-slice fleet shape too."""
+        from vofod_tpu.parallel.grid_step import (
+            _fleet_state_specs,
+            init_fleet_grid_state,
+            make_fleet_grid_mesh,
+        )
+
+        mesh = make_fleet_grid_mesh(2, 4)
+        cfg = tiny_cfg()
+        B = 2
+        state = init_fleet_grid_state(cfg, DynParams(), B, mesh)
+        rng = np.random.default_rng(3)
+        content = rng.normal(size=state.grid.shape).astype(np.float32)
+        state = state._replace(
+            grid=jax.device_put(
+                jnp.asarray(content), state.grid.sharding
+            ),
+            step=jnp.full((B,), 9, jnp.int32),
+        )
+        p = str(tmp_path / "fleet2d_ckpt")
+        save_state(p, state)
+        like = init_fleet_grid_state(cfg, DynParams(), B, mesh)
+        got = restore_state(p, like)
+        assert_state_equal(got, state)
+        specs = _fleet_state_specs("data", "grid")
+        assert got.grid.sharding == NamedSharding(mesh, specs.grid)
+        assert got.step.sharding == NamedSharding(mesh, specs.step)
+        assert len(got.grid.sharding.device_set) == 8
+
 
 class TestAsyncSaver:
     def test_async_save_then_restore(self, tmp_path):

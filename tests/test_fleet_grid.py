@@ -136,6 +136,74 @@ class TestFleetGridStep:
         assert len(fl_state.grid.sharding.device_set) == 8
         del s0
 
+    def test_prebinned_bitexact_vs_dense_per_stream(self, mesh):
+        """The prebinned ingest path under the 2D mesh: per-stream packed
+        host-binned grids shard P(data, grid) with the state; results must
+        match the dense prebinned step per stream."""
+        import jax.numpy as _jnp
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from vofod_tpu.io.binner import HostBinner
+        from vofod_tpu.pipeline.state import PrebinnedScan
+
+        cfg = sharded_config()
+        dyn = DynParams(raycast_weight_coefficient=0.5)
+        lut = make_lut(cfg.sensor)
+        hb = HostBinner(cfg, lut)
+        streams = _stream_scans(cfg, lut)
+        n_scans = 4
+
+        ref_step = make_step_fn(
+            cfg, lut, donate=False, frontend_mode="prebinned"
+        )
+        ref_states = []
+        for b in range(B):
+            s = init_state(cfg, dyn)
+            ref_states.append(s._replace(grid=s.grid.at[1].set(0.0)))
+
+        fl_step = make_fleet_grid_step(
+            cfg, lut, mesh, frontend_mode="prebinned"
+        )
+        fl_state = init_fleet_grid_state(cfg, dyn, B, mesh)
+        fl_state = fl_state._replace(grid=fl_state.grid.at[:, 1].set(0.0))
+        pspec = NamedSharding(mesh, P("data", "grid", None, None))
+        dspec = NamedSharding(mesh, P("data"))
+
+        for t in range(n_scans):
+            bins = [
+                hb.bin(streams[b][t][0], streams[b][t][1]).to_device()
+                for b in range(B)
+            ]
+            batched = PrebinnedScan(
+                packed=jax.device_put(
+                    _jnp.stack([sc.packed for sc in bins]), pspec
+                ),
+                active=jax.device_put(
+                    _jnp.stack([sc.active for sc in bins]), dspec
+                ),
+                pose=jax.device_put(
+                    _jnp.stack([sc.pose for sc in bins]), dspec
+                ),
+                stats=jax.device_put(
+                    _jnp.stack([sc.stats for sc in bins]), dspec
+                ),
+            )
+            fl_state, fl_out = fl_step(fl_state, batched, dyn.as_arrays())
+            fl_grid = np.asarray(fl_state.grid)
+            for b in range(B):
+                ref_states[b], ref_out = ref_step(
+                    ref_states[b], bins[b], dyn.as_arrays()
+                )
+                np.testing.assert_array_equal(
+                    fl_grid[b], np.asarray(ref_states[b].grid),
+                    err_msg=f"scan {t} stream {b}: grid diverged",
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(fl_out.detections.valid)[b],
+                    np.asarray(ref_out.detections.valid),
+                    err_msg=f"scan {t} stream {b}: detections diverged",
+                )
+
     def test_batch_indivisible_raises(self, mesh):
         cfg = sharded_config()
         dyn = DynParams()

@@ -12,6 +12,12 @@ threads over one shared map (vofod_nodelet.cpp:1324-1328) — the reference
 parallelizes scans of ONE sensor into one map, the fleet parallelizes whole
 detectors.
 
+``grid_shards > 1`` engages the 2D streams×grid composition
+(parallel/grid_step.make_fleet_grid_step): each stream's dense grids
+additionally shard along Z over that many devices — the fleet shape for
+operation areas beyond one chip's HBM.  Checkpoints round-trip with both
+sharding axes intact (tests/test_checkpoint.py).
+
 Multi-host serving (pod slices spanning several hosts)
 ------------------------------------------------------
 JAX multi-host is SPMD: every host runs this same program over one global
