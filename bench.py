@@ -36,7 +36,7 @@ import time
 import numpy as np
 
 
-def make_scan_cycle(cfg, lut, n_scans):
+def make_scan_cycle(lut, n_scans):
     """Content-varying scan cycle: ground + a structure + a target ORBITING
     while the sensor flies its own arc — every scan in the cycle has
     different content and pose, so no step can be served by
@@ -77,6 +77,8 @@ def apriori_ground(cfg):
 
 
 def stamp_apriori(cfg, state):
+    """Stamp the apriori ground plane into state.grid (works for the dense
+    [nz, ny, nx] grid and the fleet's batched [B, nz, ny, nx] grid alike)."""
     import jax
     import jax.numpy as jnp
 
@@ -85,7 +87,7 @@ def stamp_apriori(cfg, state):
         (g - np.array(cfg.grid_origin)) / cfg.voxel_size
     ).astype(int)
     vals = np.array(jax.device_get(state.grid))
-    vals[ixs[:, 2], ixs[:, 1], ixs[:, 0]] = np.inf
+    vals[..., ixs[:, 2], ixs[:, 1], ixs[:, 0]] = np.inf
     return state._replace(grid=jnp.asarray(vals))
 
 
@@ -176,14 +178,7 @@ def measure_sustained_fleet(cfg, lut, scans, n_streams, n_ticks=60):
     mesh = make_mesh(1)
     dyn = DynParams().as_arrays()
     bstep = make_batched_step(cfg, lut, mesh, frontend_mode="raw")
-    state = init_batched_state(cfg, DynParams(), n_streams, mesh)
-    g = apriori_ground(cfg)
-    ixs = np.floor(
-        (g - np.array(cfg.grid_origin)) / cfg.voxel_size
-    ).astype(int)
-    vals = np.array(jax.device_get(state.grid))
-    vals[:, ixs[:, 2], ixs[:, 1], ixs[:, 0]] = np.inf
-    state = state._replace(grid=jnp.asarray(vals))
+    state = stamp_apriori(cfg, init_batched_state(cfg, DynParams(), n_streams, mesh))
     ones = jnp.ones((n_streams, cfg.sensor.n_points), jnp.float32)
 
     def tick_scan(k):
@@ -263,7 +258,7 @@ def main():
 
         cfg = _C(sepclusters_every=10)
         lut = make_lut(cfg.sensor)
-        cycle = make_scan_cycle(cfg, lut, 24)
+        cycle = make_scan_cycle(lut, 24)
         rate, p50 = measure_sustained_fleet(cfg, lut, cycle, n_fleet)
         print(json.dumps({
             "metric": f"sustained_fleet{n_fleet}_scans_per_sec",
@@ -290,7 +285,7 @@ def main():
     )
 
     n_scans = 12
-    scan_cycle = make_scan_cycle(cfg, lut, n_scans)
+    scan_cycle = make_scan_cycle(lut, n_scans)
     scans = list(scan_cycle)
 
     # production ingest: the host bins each scan (native/frontend.cpp) and
@@ -403,7 +398,7 @@ def main():
     if not skip_sustained:
         # a 24-scene cycle so consecutive scans always differ in content AND
         # pose; ~8 passes over it in 200 scans, against an evolving state
-        stream_cycle = make_scan_cycle(cfg, lut, 24)
+        stream_cycle = make_scan_cycle(lut, 24)
         rates = {}
         for mode in ("prebinned", "raw"):
             rate, p50, bin_p50 = measure_sustained(

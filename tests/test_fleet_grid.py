@@ -91,7 +91,6 @@ class TestFleetGridStep:
             ref_states.append(s._replace(grid=s.grid.at[1].set(0.0)))
 
         fl_step = make_fleet_grid_step(cfg, lut, mesh)
-        s0 = init_state(cfg, dyn)
         fl_state = init_fleet_grid_state(cfg, dyn, B, mesh)
         fl_state = fl_state._replace(
             grid=fl_state.grid.at[:, 1].set(0.0)
@@ -134,7 +133,6 @@ class TestFleetGridStep:
         assert n_det >= 2
         # the state spans ALL 8 devices: 2 stream groups x 4 grid shards
         assert len(fl_state.grid.sharding.device_set) == 8
-        del s0
 
     def test_prebinned_bitexact_vs_dense_per_stream(self, mesh):
         """The prebinned ingest path under the 2D mesh: per-stream packed
@@ -203,6 +201,85 @@ class TestFleetGridStep:
                     np.asarray(ref_out.detections.valid),
                     err_msg=f"scan {t} stream {b}: detections diverged",
                 )
+
+    def test_diverging_schedule_lockstep(self, mesh):
+        """Stream groups whose stage-cond predicates DIVERGE must neither
+        hang the grid-axis collective rendezvous nor perturb results.
+
+        Two real divergence sources, both exercised here: ``do_ray`` is
+        per-stream via in_limits(sensor_pos) — group 1's sensors fly OUT of
+        the operation area on odd scans while group 0 keeps raycasting —
+        and ``run_sep`` is per-stream via the step counter — group 1 starts
+        from a later counter (a resumed checkpoint), so sepclusters fires
+        on different ticks per group.  Without routing both conds through
+        ctrl_any + local-predicate masking (pipeline/step.py), group 0
+        would issue its with_ray/with_sep halo collectives while group 1
+        skips them — the rendezvous mismatch DESIGN.md §6 documents.
+        Results must stay bit-equal per stream to the dense step."""
+        cfg = sharded_config(sepclusters_every=8)  # > N_SCANS: group 0
+        # fires sepclusters at t=0 only; group 1 (counter 6) at t=2 only
+        dyn = DynParams(raycast_weight_coefficient=0.5)
+        lut = make_lut(cfg.sensor)
+        streams = _stream_scans(cfg, lut)
+        far_pose = hover_pose((-40.0, 0.0, 6.0))  # outside the oparea
+        for b in (2, 3):  # data row 1: sensor leaves the area on odd scans
+            streams[b] = [
+                (render_scan(Scene(ground_z=0.5), lut, far_pose), far_pose)
+                if t % 2 == 1
+                else streams[b][t]
+                for t in range(N_SCANS)
+            ]
+        step0 = [0, 0, cfg.sepclusters_every - 2, cfg.sepclusters_every - 2]
+
+        ref_step = make_step_fn(cfg, lut, donate=False)
+        ref_states = []
+        for b in range(B):
+            s = init_state(cfg, dyn)
+            ref_states.append(
+                s._replace(
+                    grid=s.grid.at[1].set(0.0),
+                    step=jnp.int32(step0[b]),
+                )
+            )
+
+        fl_step = make_fleet_grid_step(cfg, lut, mesh)
+        fl_state = init_fleet_grid_state(cfg, dyn, B, mesh)
+        fl_state = fl_state._replace(
+            grid=fl_state.grid.at[:, 1].set(0.0),
+            step=jax.device_put(
+                jnp.asarray(step0, jnp.int32), fl_state.step.sharding
+            ),
+        )
+
+        for t in range(N_SCANS):
+            fl_state, fl_out = fl_step(
+                fl_state, _batched_scan(streams, t), dyn.as_arrays()
+            )
+            fl_grid = np.asarray(fl_state.grid)
+            fl_safe = np.asarray(fl_state.safe)
+            for b in range(B):
+                ref_states[b], ref_out = ref_step(
+                    ref_states[b], _single_scan(streams, b, t), dyn.as_arrays()
+                )
+                np.testing.assert_array_equal(
+                    fl_grid[b], np.asarray(ref_states[b].grid),
+                    err_msg=f"scan {t} stream {b}: grid diverged",
+                )
+                np.testing.assert_array_equal(
+                    fl_safe[b], np.asarray(ref_states[b].safe),
+                    err_msg=f"scan {t} stream {b}: safe diverged",
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(fl_out.detections.valid)[b],
+                    np.asarray(ref_out.detections.valid),
+                    err_msg=f"scan {t} stream {b}: detections diverged",
+                )
+        # non-vacuity: the two groups really took different branches —
+        # group 0 fires sepclusters at t=0 (counter 0), group 1 at t=2
+        # (counter 8) — never on the same tick within this run
+        assert step0[0] % cfg.sepclusters_every == 0
+        assert step0[2] % cfg.sepclusters_every != 0
+        assert (step0[2] + N_SCANS) > cfg.sepclusters_every >= N_SCANS
 
     def test_batch_indivisible_raises(self, mesh):
         cfg = sharded_config()

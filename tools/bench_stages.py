@@ -67,7 +67,7 @@ def main():
     lut = make_lut(base.sensor)
     hb = HostBinner(base, lut)
     assert hb.native
-    cycle = make_scan_cycle(base, lut, 12)
+    cycle = make_scan_cycle(lut, 12)
     scans = [hb.bin(r, p).to_device() for r, p in cycle]
     dyn = DynParams().as_arrays()
 

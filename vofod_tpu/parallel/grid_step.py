@@ -207,6 +207,11 @@ def make_fleet_grid_mesh(
     per-step halo/ppermute traffic of one stream's grid shards rides
     adjacent-device ICI links; stream groups never communicate.
     """
+    if n_data < 1 or n_grid < 1:
+        raise ValueError(
+            f"mesh {n_data}x{n_grid}: both axes must be >= 1 (grid_shards "
+            "larger than the device count truncates n_data to 0)"
+        )
     devs = jax.devices()
     need = n_data * n_grid
     if len(devs) < need:

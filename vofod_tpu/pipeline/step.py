@@ -186,6 +186,18 @@ def _make_step_fn(
             "default sepclusters mode only, dense or grid-sharded "
             "(config.py VoFODConfig.dynamic_radii)"
         )
+    # SPMD lockstep (2D streams×grid mesh only): the raycast and sepclusters
+    # stage conds hold grid-axis collectives, and their predicates are
+    # PER-STREAM — do_ray via in_limits(sensor_pos) (a stream whose sensor
+    # leaves the oparea diverges from the other groups on a normal flight)
+    # and run_sep via the per-stream step counter (diverges after a
+    # per-stream reset or a checkpoint assembled from different streams).
+    # Route the cond through ctrl_any (all groups enter whenever ANY group
+    # must) and mask the stage result by the LOCAL predicate — the same
+    # collective sequence on every group, bit-identical per-stream results
+    # (gridops control-flow reduction notes; tests/test_fleet_grid.py
+    # test_diverging_do_ray_lockstep).
+    lockstep = bool(getattr(ops, "lockstep_axes", ()))
     grid = GridSpec.from_config(cfg)
     lut_dirs = jnp.asarray(lut.directions)
     lut_offs = jnp.asarray(lut.offsets)
@@ -314,12 +326,18 @@ def _make_step_fn(
                     # masked anyway (raycast.py raycast_sweep docstring)
                     max_distance_bound=cfg.raycast_max_distance_bound,
                 )
-            return ray_update(
+            updated = ray_update(
                 cfg, dyn, vals, raylen, occupied,
                 jnp.float32(raycast_every), ops=ops,
             )
+            if lockstep:
+                # discard on streams whose local predicate was false (their
+                # group entered only to keep the collectives in lockstep)
+                updated = jnp.where(do_ray, updated, vals)
+            return updated
 
-        return jax.lax.cond(do_ray, with_ray, lambda v: v, vals)
+        pred = ops.ctrl_any(do_ray) if lockstep else do_ray
+        return jax.lax.cond(pred, with_ray, lambda v: v, vals)
 
     def sep_stage(dyn: DynParams, step_idx, vals, safe, sure_bg_prev):
         """Stage 7: separated-background maintenance
@@ -335,13 +353,23 @@ def _make_step_fn(
                 cfg, dyn, vals, safe, jnp.float32(cfg.sepclusters_every),
                 ops=ops, prev_sure=sure_bg_prev,
             )
-            return out.grid, out.safe, out.sure_bg_sufficient, out.converged
+            res = (out.grid, out.safe, out.sure_bg_sufficient, out.converged)
+            if lockstep:
+                # discard on streams whose local counter didn't fire (their
+                # group entered only to keep the collectives in lockstep)
+                res = jax.tree.map(
+                    lambda a, b: jnp.where(run_sep, a, b),
+                    res,
+                    without_sep(args),
+                )
+            return res
 
         def without_sep(args):
             vals, safe = args
             return vals, safe, sure_bg_prev, jnp.bool_(True)
 
-        return jax.lax.cond(run_sep, with_sep, without_sep, (vals, safe))
+        pred = ops.ctrl_any(run_sep) if lockstep else run_sep
+        return jax.lax.cond(pred, with_sep, without_sep, (vals, safe))
 
     def assemble(state, bg, cls, dets, det_counter, vals, safe, sure_bg,
                  sep_conv):

@@ -94,7 +94,9 @@ class FleetVoFOD:
         (parallel/grid_step.make_fleet_grid_step): every stream's dense
         grids additionally shard along Z over ``grid_shards`` devices — the
         fleet shape for operation areas beyond one chip's HBM.  The mesh
-        then spans n_data × grid_shards devices with grid minor."""
+        then spans n_data × grid_shards devices with grid minor
+        (n_data = device_count // grid_shards — devices beyond the largest
+        full mesh idle; grid_shards > device_count is rejected)."""
         self.cfg = cfg or VoFODConfig()
         self.dyn = dyn or DynParams()
         self.grid_shards = int(grid_shards)
