@@ -67,6 +67,70 @@ def test_fleet_end_to_end_detects_per_stream():
     assert local[0].header.frame_id == "stream0"
 
 
+def test_reset_stream_cold_starts_one_detector():
+    """reset_stream(i) — the reference's ~reset service per stream
+    (ref vofod_nodelet.cpp:1610-1632): stream i's state returns to the
+    cold-start init bit-for-bit, every other stream's state is untouched,
+    and the fleet keeps serving (stream i re-converges from scratch while
+    its step counter now runs offset from the others)."""
+    import jax
+
+    from vofod_tpu.parallel.sharding import init_batched_state
+
+    cfg = VoFODConfig(
+        sensor=SensorConfig(
+            vertical_rays=8, horizontal_rays=32, vertical_fov=np.deg2rad(90.0)
+        ),
+        oparea=Box((0.0, 0.0, 4.0), (8.0, 8.0, 8.0)),
+        max_clusters=4,
+        max_far_voxels=128,
+        max_queries=32,
+        explore_submap=8,
+        confidence_submap=8,
+    )
+    fleet = FleetVoFOD(cfg, DynParams(), n_streams=8)
+    xs = np.arange(-3.0, 3.0, 0.4)
+    gx, gy = np.meshgrid(xs, xs)
+    fleet.load_apriori_map(
+        np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=1)
+    )
+    pose = hover_pose((0.0, 0.0, 3.0))
+    sc = Scene(ground_z=0.0)
+    sc.add_sphere(center=(2.0, 0.0, 6.0), radius=0.5)
+    scan = render_scan(sc, fleet.lut, pose)
+    B = 8
+    poses = np.tile(pose, (B, 1, 1))
+    n_warm = 5
+    for _ in range(n_warm):
+        fleet.process_scans(np.tile(scan, (B, 1)), poses)
+    before = jax.device_get(fleet.state)
+
+    fleet.reset_stream(3)
+    after = jax.device_get(fleet.state)
+    fresh = jax.device_get(init_batched_state(cfg, DynParams(), B, fleet.mesh))
+    for name in before._fields:
+        b_, a_, f_ = (
+            getattr(before, name), getattr(after, name), getattr(fresh, name)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a_)[3], np.asarray(f_)[3],
+            err_msg=f"{name}: stream 3 not cold-started",
+        )
+        keep = np.arange(B) != 3
+        np.testing.assert_array_equal(
+            np.asarray(a_)[keep], np.asarray(b_)[keep],
+            err_msg=f"{name}: other streams perturbed",
+        )
+    assert int(np.asarray(after.step)[3]) == 0
+    assert int(np.asarray(after.step)[0]) == n_warm
+
+    # the fleet keeps serving through the donated-state swap; the reset
+    # stream's counter stays offset from the others
+    fleet.process_scans(np.tile(scan, (B, 1)), poses)
+    step = np.asarray(jax.device_get(fleet.state.step))
+    assert step[3] == 1 and step[0] == n_warm + 1
+
+
 def test_voxel_grid_counted_matches_oracle(rng):
     pts = rng.uniform(0, 8, size=(300, 3)).astype(np.float32)
     inten = rng.uniform(-1, 1, size=300).astype(np.float32)

@@ -137,6 +137,7 @@ class FleetVoFOD:
             self._grid_pspec = P("data")
         self.last_diag = None
         self._apriori_upd = None
+        self._reset_upd = None
 
     @property
     def local_streams(self) -> list[int]:
@@ -262,6 +263,51 @@ class FleetVoFOD:
             grid=self._apriori_upd(self.state.grid, mask, sel)
         )
         return int(idx.shape[0])
+
+    def reset_stream(self, stream: int | None = None) -> None:
+        """The reference's ``~reset`` service (vofod_nodelet.cpp:1610-1632)
+        lifted to the fleet: re-initialize ONE stream's detector state to
+        cold start (or all streams with ``stream=None``) while the rest of
+        the fleet keeps flying — a UAV relaunching mid-mission.
+
+        A jitted masked select on the sharded state (no host round-trip,
+        multi-host safe like :meth:`load_apriori_map` — call with the same
+        ``stream`` on every host).  Like the reference's reset, the apriori
+        bootstrap is separate: re-stamp with ``load_apriori_map(pts,
+        stream=...)`` afterwards.  The reset stream's step counter restarts
+        at 0, so its raycast/sepclusters schedule diverges from the other
+        stream groups — safe under the 2D streams×grid mesh because the
+        schedule conds are lockstep-reduced (pipeline/step.py)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sel = np.zeros((self.n_streams,), bool)
+        sel[np.arange(self.n_streams) if stream is None else [stream]] = True
+        if self.grid_shards > 1:
+            fresh = init_fleet_grid_state(
+                self.cfg, self.dyn, self.n_streams, self.mesh
+            )
+        else:
+            fresh = init_batched_state(
+                self.cfg, self.dyn, self.n_streams, self.mesh
+            )
+        if self._reset_upd is None:
+            rep = NamedSharding(self.mesh, P())
+            shardings = jax.tree.map(lambda leaf: leaf.sharding, fresh)
+
+            def _upd(cur, new, s):
+                return jax.tree.map(
+                    lambda c, n: jnp.where(
+                        s.reshape((-1,) + (1,) * (c.ndim - 1)), n, c
+                    ),
+                    cur,
+                    new,
+                )
+
+            upd = jax.jit(_upd, out_shardings=shardings, donate_argnums=(0,))
+            self._reset_upd = lambda cur, new, s: upd(
+                cur, new, jax.make_array_from_process_local_data(rep, s)
+            )
+        self.state = self._reset_upd(self.state, fresh, sel)
 
 
 def _host_local_rows(arr, n_rows: int) -> tuple[list[int], np.ndarray]:
