@@ -144,9 +144,21 @@ class HostBinner:
         intensity: np.ndarray | None = None,
         min_intensity: float = 0.0,
     ) -> BinnedScan:
-        ranges_mm = np.ascontiguousarray(
-            np.asarray(ranges_mm).reshape(-1), np.uint32
-        )
+        r_in = np.asarray(ranges_mm).reshape(-1)
+        if np.issubdtype(r_in.dtype, np.floating):
+            # Hostile-float contract (tests/test_hostile_inputs.py): the raw
+            # frontend consumes float ranges directly, where NaN and negative
+            # values fail its `r > 0` no-return test and +inf is a return
+            # that misses the operation area but still opens the raycast
+            # gate (ref skip rule vofod_nodelet.cpp:1449-1450 keys on
+            # range != 0).  The float->uint32 cast below is undefined for
+            # non-finite values, so map them to the same semantics first:
+            # NaN/negative -> 0 (no return), +inf -> 4e9 mm (a 4000 km
+            # return — nonzero, guaranteed outside any operation area).
+            r_in = r_in.astype(np.float64)  # holds 4e9 exactly at any input width
+            r_in[np.isnan(r_in) | (r_in < 0)] = 0.0
+            np.minimum(r_in, 4.0e9, out=r_in)
+        ranges_mm = np.ascontiguousarray(r_in, np.uint32)
         pose = np.asarray(pose, np.float32)
         if intensity is None:
             # the raw step substitutes intensity=ones when the source has no

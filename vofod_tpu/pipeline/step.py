@@ -273,6 +273,16 @@ def _make_step_fn(
         def with_ray(vals):
             if raycast_mode == "exact":
                 r = scan.ranges_mm.astype(jnp.float32) * RANGE_TO_METERS
+                # hostile-float contract (tests/test_hostile_inputs.py): NaN/
+                # negative ranges are no-returns, +inf a return past any
+                # operation area (mirrors io/binner.py's host sanitizer).
+                # Without this a NaN range on an in-mask pixel makes
+                # `lengths` NaN (r == 0 is False for NaN) and the DDA
+                # emission weights would scatter NaN into the ray grid.
+                # Elementwise, fuses into the conversion above for free.
+                r = jnp.where(
+                    jnp.isnan(r) | (r < 0.0), 0.0, jnp.minimum(r, 4.0e6)
+                )
                 dirs_w = lut_dirs @ rot.T
                 starts = lut_offs @ rot.T + sensor_pos[None, :]
                 max_d = dyn.raycast_max_distance

@@ -95,6 +95,7 @@ class VoFOD:
         # costs a synchronous transfer (a full relay round-trip on tunneled
         # setups) and breaks async pipelining
         self._host_step = 0
+        self.n_pose_rejected = 0  # scans skipped for a non-finite pose
         self._apriori_loaded = False
         self._sensor_checked = False
         self._sensor_params_ok = True
@@ -152,6 +153,20 @@ class VoFOD:
         # checkpoints through processMsg, vofod_nodelet.cpp:887-964)
         stimer = ScopeTimer(f"pc proc #{self._host_step}")
         pose_np = np.asarray(pose, np.float32)
+        if not np.isfinite(pose_np).all():
+            # Lost/invalid TF: the reference skips the scan entirely when the
+            # world transform cannot be obtained (vofod_nodelet.cpp:900-914
+            # getTransformToWorld guard + return); a NaN/Inf pose here is the
+            # same failure arriving as data.  Skip BEFORE any device work —
+            # a NaN translation only wastes a step (in_limits masks the
+            # raycast), but a NaN ROTATION with a finite translation would
+            # reach the raycast gate math.  Contract: tests/test_hostile_inputs.py.
+            self.n_pose_rejected += 1
+            self._log.warning(
+                "non-finite pose — scan skipped (%d rejected so far)",
+                self.n_pose_rejected,
+            )
+            return None, stamp, stimer
         if self._binner is not None:
             inten_np = (
                 None if intensity is None
@@ -230,6 +245,8 @@ class VoFOD:
         (~31 ms measured, bench_latency.py), so diag + detections ride one
         readback."""
         out, stamp, stimer = pending
+        if out is None:  # scan was skipped (non-finite pose) — empty message
+            return Detections(header=Header(stamp, self.options.world_frame_id))
         self.last_diag, dets = jax.device_get((out.diag, out.detections))
         stimer.checkpoint("readback")
         self.last_scope_timer = stimer
