@@ -208,3 +208,46 @@ class TestNodeLevel:
         # the node keeps working after the bad scans
         node.process_scan(ranges, None, pose)
         assert node._host_step == step_before + 1
+
+
+@pytest.mark.slow  # batched shard_map compile on the 8-device mesh
+class TestFleetLevel:
+    def test_nan_pose_stream_becomes_null_scan(self):
+        """Under SPMD lockstep a stream cannot sit a step out the way the
+        single-stream node does, so a non-finite pose becomes a NULL scan
+        (runtime/fleet.py _sanitize_rows): the stream's own state stays
+        NaN-free, every OTHER stream is bit-unaffected (the lockstep conds
+        mask the rejected stream's raycast off without diverging the
+        collectives), and the rejection is counted per stream."""
+        from vofod_tpu.runtime.fleet import FleetVoFOD
+
+        cfg = small_cfg()
+        lut = make_lut(cfg.sensor)
+        pose = hover_pose((1.0, 0.5, 7.0), yaw=0.2)
+        scene = Scene(ground_z=0.5)
+        scene.add_sphere(center=(4.0, 0.3, 9.0), radius=0.7)
+        ranges = render_scan(scene, lut, pose)
+        B = 8
+        scans = np.tile(ranges, (B, 1))
+        poses = np.tile(pose, (B, 1, 1)).astype(np.float32)
+
+        def run(poison_tick):
+            fleet = FleetVoFOD(cfg, DynParams(), n_streams=B)
+            for t in range(5):
+                p = poses.copy()
+                if t == poison_tick:
+                    p[2, :3, :3] = np.nan  # finite translation, NaN rotation
+                msgs = fleet.process_scans(scans, p)
+                assert len(msgs) == B  # every stream still gets a message
+            return fleet
+
+        a, b = run(poison_tick=3), run(poison_tick=None)
+        ga, gb = np.asarray(a.state.grid), np.asarray(b.state.grid)
+        assert not np.isnan(ga).any()
+        for s in range(B):
+            if s != 2:
+                np.testing.assert_array_equal(ga[s], gb[s], err_msg=f"stream {s}")
+        assert list(a.n_pose_rejected) == [0, 0, 1, 0, 0, 0, 0, 0]
+        assert list(b.n_pose_rejected) == [0] * 8
+        # the rejected stream missed exactly one scan's worth of evidence
+        assert not np.array_equal(ga[2], gb[2])

@@ -42,6 +42,8 @@ fetch), which is what makes the pod-slice story testable without a pod.
 
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -138,6 +140,43 @@ class FleetVoFOD:
         self.last_diag = None
         self._apriori_upd = None
         self._reset_upd = None
+        # per-stream count of scans consumed as null scans for a non-finite
+        # pose (lost TF — see _sanitize_rows)
+        self.n_pose_rejected = np.zeros(self.n_streams, np.int64)
+        self._log = logging.getLogger("vofod_tpu.fleet")
+
+    def _sanitize_rows(
+        self, r: np.ndarray, p: np.ndarray, global_ids
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Non-finite pose (lost TF) -> NULL scan for that stream.
+
+        The single-stream node skips such a scan before any device work
+        (runtime/node.py process_scan_async; ref transform-failure return,
+        vofod_nodelet.cpp:900-914).  Under SPMD lockstep a stream cannot sit
+        a step out — every stream enters the same program — so the rejected
+        stream consumes the step as a null scan instead: zero returns (the
+        frontend bins nothing, the EMA is fully masked) and a sentinel pose
+        far outside the operation area (``in_limits`` False -> its raycast
+        masks off through the lockstep conds, parallel/gridops ctrl seam).
+        Unlike the node path its schedule counters DO advance — exactly as
+        if the sensor had seen nothing this tick."""
+        bad = ~np.isfinite(p.reshape(p.shape[0], -1)).all(axis=1)
+        if bad.any():
+            r, p = r.copy(), p.copy()
+            sentinel = np.eye(4, dtype=np.float32)
+            sentinel[:3, 3] = (
+                np.asarray(self.cfg.oparea.lo, np.float32) - 1.0e6
+            )
+            r[bad] = 0.0
+            p[bad] = sentinel
+            for li in np.nonzero(bad)[0]:
+                g = global_ids[li]
+                self.n_pose_rejected[g] += 1
+                self._log.warning(
+                    "stream %d: non-finite pose — null scan (%d rejected)",
+                    g, int(self.n_pose_rejected[g]),
+                )
+        return r, p
 
     @property
     def local_streams(self) -> list[int]:
@@ -187,6 +226,7 @@ class FleetVoFOD:
             else np.asarray(intensity, np.float32).reshape(Bl, n_pts)
         )
         p = np.asarray(poses, np.float32).reshape(Bl, 4, 4)
+        r, p = self._sanitize_rows(r, p, local)
         scans = ScanInput(
             ranges_mm=dist(r, (B, n_pts)),
             intensity=dist(i, (B, n_pts)),
@@ -210,12 +250,13 @@ class FleetVoFOD:
         """ranges_mm: [B, H*W]; poses: [B, 4, 4].  Returns one Detections
         message per stream."""
         B = self.n_streams
+        r = np.asarray(ranges_mm, np.float32).reshape(B, -1)
+        p = np.asarray(poses, np.float32).reshape(B, 4, 4)
+        r, p = self._sanitize_rows(r, p, range(B))
         scans = ScanInput(
-            ranges_mm=jnp.asarray(
-                np.asarray(ranges_mm, np.float32).reshape(B, -1)
-            ),
+            ranges_mm=jnp.asarray(r),
             intensity=jnp.ones((B, self.cfg.sensor.n_points), jnp.float32),
-            pose=jnp.asarray(np.asarray(poses, np.float32).reshape(B, 4, 4)),
+            pose=jnp.asarray(p),
         )
         self.state, out = self._step(self.state, scans, self.dyn.as_arrays())
         d = jax.device_get(out.detections)
