@@ -146,8 +146,10 @@ void vofod_binner_bin_dense(void* vb, const uint32_t* ranges_mm,
     if (actp) {
       if (inp) {
         for (int64_t j = 0; j < m; ++j)
+          // `!(i < min)` not `i >= min`: NaN intensity passes the reference
+          // gate (NaN < x is false, vofod_nodelet.cpp:1449)
           actp[j] =
-              ((inp[j] >= min_intensity) & ((mkp[j] != 0) | (rng[j] > 0)))
+              ((!(inp[j] < min_intensity)) & ((mkp[j] != 0) | (rng[j] > 0)))
                   ? 1
                   : 0;
       } else {

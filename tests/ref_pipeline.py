@@ -302,7 +302,8 @@ class RefPipeline:
         )
         sidx = self._coord_to_idx(starts.astype(F32))
         valid = (
-            (intensity >= dyn.raycast_min_intensity)
+            # negated ref skip rule (:1449) — NaN intensity passes
+            ~(intensity < dyn.raycast_min_intensity)
             & (self.mask | (r > 0))
             & self._in_limits_idx(sidx)
         )

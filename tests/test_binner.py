@@ -195,3 +195,49 @@ class TestPrebinnedStep:
             make_step_fn(
                 cfg, lut, raycast_mode="exact", frontend_mode="prebinned"
             )
+
+
+class TestIngestProbe:
+    """frontend_mode="auto": the startup transport probe replaces the
+    round-4 EXTRAPOLATED "prebinned on attached hardware" default with a
+    per-deployment measurement (io/binner.py probe_ingest_mode)."""
+
+    def test_choose_ingest_rule(self):
+        from vofod_tpu.io.binner import choose_ingest
+
+        # round-4 tunnel numbers: raw up ~31 ms (relay floor), packed ~3x,
+        # host bin ~1.1 ms -> raw wins (DESIGN §7 measured table)
+        assert choose_ingest(31.0, 95.0, 1.1) == "raw"
+        # attached PCIe arithmetic: 0.52 MB ~0.05 ms, 2.47 MB ~0.15 ms,
+        # prebinned saves the 1.5 ms device scatter -> prebinned
+        assert choose_ingest(0.05, 0.15, 1.1) == "prebinned"
+        # bin cost exceeding the scatter saving flips it back
+        assert choose_ingest(0.05, 0.15, 2.0) == "raw"
+
+    def test_probe_runs_and_reports(self):
+        from vofod_tpu.io.binner import probe_ingest_mode
+        from vofod_tpu.sensor import make_lut
+
+        cfg = small_cfg()
+        lut = make_lut(cfg.sensor)
+        mode, d = probe_ingest_mode(cfg, lut)
+        assert mode in ("raw", "prebinned")
+        for k in ("t_raw_upload_ms", "t_prebinned_upload_ms",
+                  "t_host_bin_ms", "raw_bytes", "prebinned_bytes"):
+            assert d[k] > 0, k
+        assert d["raw_bytes"] == cfg.sensor.n_points * 4
+
+    def test_node_auto_mode_resolves(self):
+        from vofod_tpu.config import DynParams
+        from vofod_tpu.runtime.node import NodeOptions, VoFOD
+
+        node = VoFOD(
+            small_cfg(), DynParams(),
+            NodeOptions(frontend_mode="auto", raycast_mode="sweep"),
+        )
+        assert node.options.frontend_mode in ("raw", "prebinned")
+        assert node.ingest_probe["t_host_bin_ms"] > 0
+        # the picked mode actually constructed the matching ingest path
+        assert (node._binner is not None) == (
+            node.options.frontend_mode == "prebinned"
+        )

@@ -127,3 +127,76 @@ def test_create_mask_cli(tmp_path, capsys):
     m = np.load(out)
     assert m.shape == (8, 32)
     assert m.reshape(-1)[5] == 0
+
+
+def test_serve_fleet_latency_summary(tmp_path, capsys):
+    """--json gains per-tick latency records and a final percentile summary
+    (the fleet-knee ergonomics: operators read the knee off the output)."""
+    import json as _json
+
+    from vofod_tpu.tools.serve_fleet import main
+
+    scans = _record(tmp_path, n=6)
+    seny = str(tmp_path / "sen.yaml")
+    with open(seny, "w") as f:
+        f.write(
+            "sensor: {vertical_fov_angle: 90.0, vertical_rays: 8, "
+            "horizontal_rays: 32}\n"
+        )
+    rc = main(
+        [
+            "--streams", "8", "--scans", scans, "--ticks", "3", "--loop",
+            "--rate", "200", "--sensor", seny, "--small-capacities", "--json",
+        ]
+    )
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    recs = [_json.loads(l) for l in out]
+    ticks = [r for r in recs if "latency_ms" in r and not r.get("summary")]
+    assert len(ticks) == 3 and all(r["latency_ms"] > 0 for r in ticks)
+    summary = [r for r in recs if r.get("summary")]
+    assert len(summary) == 1
+    s = summary[0]
+    assert s["streams"] == 8 and s["ticks"] == 3
+    assert s["latency_p50_ms"] <= s["latency_p95_ms"] <= s["latency_p99_ms"]
+
+
+def test_serve_fleet_streams_auto(tmp_path, capsys, monkeypatch):
+    """--streams auto probes the transport and picks the knee; the policy
+    itself is pure (test_fleet tests it) — here the CLI wiring."""
+    import vofod_tpu.runtime.fleet as fleet_mod
+    from vofod_tpu.tools.serve_fleet import main
+
+    monkeypatch.setattr(fleet_mod, "probe_transport_rtt", lambda: 31.0)
+    monkeypatch.setattr(
+        fleet_mod, "pick_stream_knee",
+        lambda rtt, n_dev: (8, "relay") if rtt >= 5.0 else (999, "attached"),
+    )
+    scans = _record(tmp_path, n=4)
+    seny = str(tmp_path / "sen.yaml")
+    with open(seny, "w") as f:
+        f.write(
+            "sensor: {vertical_fov_angle: 90.0, vertical_rays: 8, "
+            "horizontal_rays: 32}\n"
+        )
+    rc = main(
+        [
+            "--streams", "auto", "--scans", scans, "--ticks", "2", "--loop",
+            "--rate", "200", "--sensor", seny, "--small-capacities",
+        ]
+    )
+    assert rc == 0
+    err = capsys.readouterr().err
+    assert "--streams auto: probed rtt 31.0 ms (relay) -> 8 streams" in err
+    assert "2 ticks x 8 local streams" in err
+
+
+def test_pick_stream_knee_policy():
+    """The measured knee policy (DESIGN §7): relay-bound transports get the
+    round-4 measured 12/chip; fast transports the extrapolated 32/chip."""
+    from vofod_tpu.runtime.fleet import pick_stream_knee
+
+    assert pick_stream_knee(31.0, 1) == (12, "relay")
+    assert pick_stream_knee(5.0, 2) == (24, "relay")
+    assert pick_stream_knee(0.4, 1) == (32, "attached")
+    assert pick_stream_knee(0.4, 4) == (128, "attached")

@@ -153,3 +153,71 @@ def test_voxel_grid_counted_matches_oracle(rng):
                 want_s[c[2], c[1], c[0]] += 1
     np.testing.assert_array_equal(np.asarray(counts), want_c)
     np.testing.assert_array_equal(np.asarray(sure), want_s)
+
+
+def test_fleet_intensity_gate_is_live():
+    """The raycast/min_intensity gate (ref vofod_nodelet.cpp:1449) is LIVE
+    under the batched fleet step: a stream whose intensity image closes the
+    sector covering a disappeared target keeps believing the stale occupancy
+    (no freespace update clears it), while an all-ones stream sees the same
+    scans and clears it — per-stream divergence driven ONLY by intensity."""
+    import dataclasses
+
+    cfg = VoFODConfig(
+        sensor=SensorConfig(
+            vertical_rays=24, horizontal_rays=128, vertical_fov=np.deg2rad(90.0)
+        ),
+        oparea=Box((0.0, 0.0, 4.0), (30.0, 30.0, 16.0)),
+        background_sufficient_points_ratio=0.05,
+        max_clusters=8,
+        max_far_voxels=512,
+        max_queries=64,
+        explore_submap=16,
+        confidence_submap=8,
+    )
+    dyn = dataclasses.replace(
+        DynParams(), raycast_min_intensity=0.5,
+        raycast_weight_coefficient=1.0,
+    )
+    fleet = FleetVoFOD(cfg, dyn, n_streams=8)
+    xs = np.arange(-5.0, 5.0, 0.4)
+    gx, gy = np.meshgrid(xs, xs)
+    fleet.load_apriori_map(
+        np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=1)
+    )
+    lut = fleet.lut
+    pose = hover_pose((0.0, 0.0, 3.0))
+    B = 8
+    poses = np.tile(pose, (B, 1, 1))
+    n_pts = cfg.sensor.n_points
+
+    # phase 1 (all streams identical, full intensity): converge with a
+    # floating sphere present — it accumulates positive occupancy
+    sc = Scene(ground_z=0.0)
+    sc.add_sphere(center=(6.0, 0.0, 5.0), radius=0.8)
+    tgt = render_scan(sc, lut, pose)
+    full = np.ones((B, n_pts), np.float32)
+    for _ in range(30):
+        fleet.process_scans(np.tile(tgt, (B, 1)), poses, intensity=full)
+
+    # phase 2: the sphere disappears.  Streams 0-3 keep full intensity (their
+    # raycasts clear the stale voxels); streams 4-7 get intensity below the
+    # gate on EVERY pixel (their raycasts are all gated off, so the stale
+    # occupancy persists).  Ranges and poses are IDENTICAL across streams.
+    empty = render_scan(Scene(ground_z=0.0), lut, pose)
+    gated = np.concatenate(
+        [np.ones((4, n_pts), np.float32),
+         np.full((4, n_pts), 0.1, np.float32)]
+    )
+    for _ in range(12):
+        fleet.process_scans(np.tile(empty, (B, 1)), poses, intensity=gated)
+
+    grids = np.asarray(fleet.state.grid)
+    # voxel holding the sphere center (6, 0, 5)
+    org = np.asarray(fleet.grid_spec.origin)
+    ix = np.floor(([6.0, 0.0, 5.0] - org) / cfg.voxel_size).astype(int)
+    cleared = grids[:4, ix[2], ix[1], ix[0]]
+    stale = grids[4:, ix[2], ix[1], ix[0]]
+    # ungated streams raycast the voxel down; gated streams never touch it
+    assert float(stale.min()) > float(cleared.max()), (cleared, stale)
+    np.testing.assert_array_equal(stale, stale[0])  # gated streams identical

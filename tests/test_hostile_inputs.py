@@ -123,21 +123,26 @@ class TestKernelLevel:
         assert a.n_exclude_hits == b.n_exclude_hits
 
     @pytest.mark.parametrize("use_native", [True, False])
-    def test_nan_intensity_closes_gate(self, scan_and_pose, use_native):
-        """NaN intensity fails ``intensity >= min`` in both binners (and in
-        the raw device gate — the same IEEE comparison), closing the
-        per-pixel raycast gate exactly like a below-threshold return."""
+    def test_nan_intensity_passes_gate(self, scan_and_pose, use_native):
+        """NaN intensity PASSES the gate in both binners, matching the
+        reference's skip rule ``intensity < min -> skip``
+        (vofod_nodelet.cpp:1449): ``NaN < x`` is false, so the ray is cast.
+        Both binners use the negated form ``!(i < min)``, not ``i >= min``,
+        to preserve this IEEE behavior."""
         cfg, lut, pose, ranges = scan_and_pose
         hb = HostBinner(cfg, lut, use_native=use_native)
-        inten = np.full(ranges.size, 100.0, np.float32)
+        inten = np.full(ranges.size, 10.0, np.float32)  # below threshold
         nan_px = np.arange(0, ranges.size, 5)
         inten[nan_px] = np.nan
-        lo = inten.copy()
-        lo[nan_px] = -1.0  # sanitized equivalent: below any threshold
+        hi = inten.copy()
+        hi[nan_px] = 1.0e9  # sanitized equivalent: above any threshold
         a = hb.bin(ranges, pose, intensity=inten, min_intensity=50.0)
-        b = hb.bin(ranges, pose, intensity=lo, min_intensity=50.0)
+        b = hb.bin(ranges, pose, intensity=hi, min_intensity=50.0)
         np.testing.assert_array_equal(a.active, b.active)
-        assert not a.active[nan_px].any()
+        # the NaN pixels are the only ones open (10.0 < 50.0 closes the rest
+        # where the mask/range term allows)
+        np.testing.assert_array_equal(a.active[nan_px], b.active[nan_px])
+        assert a.active[nan_px].any()
         np.testing.assert_array_equal(a.packed, b.packed)
 
 
@@ -166,7 +171,9 @@ class TestNodeLevel:
                 inten_bad = inten.copy()
                 inten_bad[qs[0]] = np.nan
                 inten_sane = inten.copy()
-                inten_sane[qs[0]] = -1.0
+                # NaN passes the `intensity < min -> skip` gate (ref :1449),
+                # so its sanitized equivalent is above-any-threshold
+                inten_sane[qs[0]] = 1.0e9
                 if sanitized:
                     node.process_scan(sane, inten_sane, pose, stamp=0.1 * i)
                 else:

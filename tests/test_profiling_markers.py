@@ -114,3 +114,37 @@ class TestMarkerSchedule:
         got = marker_scans(node, node.dyn, n=3)
         assert got[ProfilingInfo.ROUTINE_RAYCASTING] == set()
         assert got[ProfilingInfo.ROUTINE_SEPBGCLUSTERS] == set()
+
+
+class TestDeviceTrace:
+    """NodeOptions.trace_dir: one jax.profiler device-trace window around the
+    step dispatches (SURVEY §5's per-kernel attribution tool)."""
+
+    @pytest.mark.parametrize("staged", [False, True])
+    def test_trace_directory_produced(self, tmp_path, staged):
+        tdir = str(tmp_path / ("staged" if staged else "fused"))
+        node = VoFOD(
+            micro_config(), DynParams(),
+            NodeOptions(
+                raycast_mode="exact", profile_stages=staged,
+                trace_dir=tdir, trace_skip=1, trace_scans=2,
+            ),
+        )
+        pose = hover_pose((8.0, 8.0, 9.0))
+        ranges = render_scan(Scene(ground_z=6.0), node.lut, pose)
+        for k in range(5):
+            node.process_scan(ranges, None, pose, stamp=0.1 * k)
+        assert node._trace_state == "done"
+        import glob
+
+        # xprof writes plugins/profile/<run>/<host>.xplane.pb
+        planes = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
+        assert planes, f"no trace written under {tdir}"
+
+    def test_no_trace_without_option(self, tmp_path):
+        node = VoFOD(micro_config(), DynParams(),
+                     NodeOptions(raycast_mode="exact"))
+        pose = hover_pose((8.0, 8.0, 9.0))
+        ranges = render_scan(Scene(ground_z=6.0), node.lut, pose)
+        node.process_scan(ranges, None, pose)
+        assert node._trace_state == "done"  # never armed

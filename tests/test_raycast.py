@@ -303,3 +303,127 @@ class TestSweepWindow:
         xs = (np.arange(160) + 0.5) * 0.5 - 40.0
         far_cols = np.abs(xs) > 10.0 + 8 * 0.5 + 0.5
         assert np.all(win[:, :, far_cols] == 0.0)
+
+
+class TestAngularGateCalibratedLut:
+    """The angular gate on CALIBRATED non-uniform beam-altitude tables.
+
+    The row↔elevation map is linear only for sim/uniform LUTs; gradient- or
+    gamma-spaced tables (real OS-series options) deviate from the linear fit
+    by MULTIPLE pooled bins, so make_angular_gate stores the per-row
+    elevation table and gate_faces inverts it exactly.  Pinned here against
+    an independent per-texel NumPy oracle across random masks and rotations
+    (ref LUT semantics: vofod_nodelet.cpp:358-371)."""
+
+    H, W = 64, 512
+
+    @staticmethod
+    def _gradient_lut(H, W):
+        from vofod_tpu.sensor import make_lut_ouster
+
+        u = np.linspace(-1.0, 1.0, H)
+        # OS0-style gradient: beams densest at the horizon, 90° total FOV
+        alt = -45.0 * np.sign(u) * np.abs(u) ** 1.3
+        az = 3.0 * np.sin(np.linspace(0, 2 * np.pi, H))  # staggered columns
+        return make_lut_ouster(W, H, az, alt, 15.806)
+
+    @staticmethod
+    def _oracle_faces(gate, lut, active, R):
+        """Independent per-texel ground truth: pool the active image, invert
+        the TRUE per-row elevation table per texel (searchsorted + linear
+        extrapolation with the end-segment slope), tent-sample."""
+        H, W = lut.height, lut.width
+        G = np.asarray(active, np.float64).reshape(
+            gate.n_rows, gate.pool_v, gate.n_cols, gate.pool_h
+        ).mean(axis=(1, 3))
+        el_row = np.arcsin(
+            np.clip(lut.directions.reshape(H, W, 3)[..., 2], -1, 1)
+        ).mean(axis=1)
+
+        d_s = gate.face_dirs.reshape(-1, 3).astype(np.float64) @ np.asarray(R)
+        el = np.arcsin(np.clip(d_s[:, 2], -1, 1))
+        az = np.arctan2(d_s[:, 1], d_s[:, 0])
+
+        # invert el_row (monotone decreasing for top-down tables)
+        sgn = 1.0 if el_row[-1] > el_row[0] else -1.0
+        f = sgn * el_row
+        t = sgn * el
+        seg = np.clip(np.searchsorted(f, t, side="right") - 1, 0, H - 2)
+        row_f = seg + (t - f[seg]) / (f[seg + 1] - f[seg])
+        g_r = (row_f + 0.5) / gate.pool_v - 0.5
+        g_c = np.mod(
+            ((az - gate.az_b) / gate.az_a + 0.5) / gate.pool_h - 0.5,
+            gate.col_period,
+        )
+        kr = np.arange(gate.n_rows)
+        kc = np.arange(gate.n_cols)
+        w_r = np.maximum(0.0, 1.0 - np.abs(g_r[:, None] - kr[None, :]))
+        d0 = np.abs(g_c[:, None] - kc[None, :])
+        dwrap = np.minimum(
+            d0,
+            np.minimum(
+                np.abs(g_c[:, None] - gate.col_period - kc[None, :]),
+                np.abs(g_c[:, None] + gate.col_period - kc[None, :]),
+            ),
+        )
+        w_c = np.maximum(0.0, 1.0 - dwrap)
+        w_c = w_c / np.maximum(w_c.sum(axis=-1, keepdims=True), 1e-6)
+        vals = np.sum(w_r * (w_c @ G.T), axis=-1)
+        F = gate.face_dirs.shape[1]
+        return vals.reshape(6, F, F)
+
+    def test_linear_fit_fails_table_is_stored(self):
+        """The motivating measurement: the linear row fit misplaces gradient
+        beams by >1 pooled bin, so make_angular_gate must store the table."""
+        lut = self._gradient_lut(self.H, self.W)
+        gate = make_angular_gate(lut)
+        assert gate.el_rows is not None
+        el_row = np.arcsin(np.clip(
+            lut.directions.reshape(self.H, self.W, 3)[..., 2], -1, 1
+        )).mean(axis=1)
+        row_lin = (el_row - gate.el_b) / gate.el_a
+        err = np.abs(row_lin - np.arange(self.H)).max()
+        assert err > gate.pool_v  # the old map was >1 pooled bin off
+
+    def test_sim_lut_keeps_linear_path(self):
+        """Uniform tables stay on the (bit-identical) linear map."""
+        gate = make_angular_gate(make_lut_simulation(256, 32, np.deg2rad(90)))
+        assert gate.el_rows is None
+        from vofod_tpu.sensor import make_lut_ouster
+
+        uni = make_lut_ouster(
+            512, 64, np.zeros(64), np.linspace(45.0, -45.0, 64), 15.806
+        )
+        assert make_angular_gate(uni).el_rows is None
+
+    def test_gate_matches_oracle_random_masks_rotations(self):
+        """gate_faces == the independent per-texel oracle on a gradient LUT,
+        across random active images and sensor rotations."""
+        from scipy.spatial.transform import Rotation
+
+        lut = self._gradient_lut(self.H, self.W)
+        gate = make_angular_gate(lut)
+        rng = np.random.default_rng(7)
+        for trial in range(4):
+            active = rng.random((self.H, self.W)) < rng.uniform(0.2, 0.9)
+            R = Rotation.random(random_state=int(rng.integers(1 << 30))).as_matrix()
+            got = np.asarray(
+                gate_faces(gate, jnp.asarray(active), jnp.asarray(R, jnp.float32))
+            )
+            want = self._oracle_faces(gate, lut, active, R)
+            np.testing.assert_allclose(got, want, atol=3e-3, err_msg=f"trial {trial}")
+
+    def test_row_centers_exact(self):
+        """Each beam's own elevation maps back to its own row index (the
+        inverse is exact at every row center, not just within a bound)."""
+        lut = self._gradient_lut(self.H, self.W)
+        gate = make_angular_gate(lut)
+        from vofod_tpu.ops.raycast import _row_from_elevation
+
+        el_row = np.arcsin(np.clip(
+            lut.directions.reshape(self.H, self.W, 3)[..., 2], -1, 1
+        )).mean(axis=1)
+        row_f = np.asarray(
+            _row_from_elevation(gate, jnp.asarray(el_row, jnp.float32))
+        )
+        np.testing.assert_allclose(row_f, np.arange(self.H), atol=2e-3)

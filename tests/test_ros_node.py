@@ -99,6 +99,17 @@ def ros_stub(monkeypatch):
     sensor_msgs_msg = types.ModuleType("sensor_msgs.msg")
     sensor_msgs_msg.PointCloud2 = object
     sensor_msgs_msg.Range = object
+
+    class Image:
+        def __init__(self):
+            self.header = Header()
+            self.height = self.width = 0
+            self.encoding = ""
+            self.is_bigendian = 0
+            self.step = 0
+            self.data = b""
+
+    sensor_msgs_msg.Image = Image
     pc2 = types.ModuleType("sensor_msgs.point_cloud2")
 
     def read_points(msg, field_names):
@@ -328,3 +339,75 @@ class TestRosNode:
         assert node.tf_failures == 1
         assert ros_stub.warnings  # logged loudly (ref :913-923)
         assert not ros_stub.pubs["~detections_json"].published
+
+
+class TestRosMaskCreator:
+    """The MaskCreator nodelet's wire surface (ref src/mask_creator.cpp:
+    63-76 names, 164-189 display loop, 193-260 services + accumulation)."""
+
+    def _mc(self):
+        from vofod_tpu.runtime.mask_creator import MaskCreator
+
+        return MaskCreator(H, W)
+
+    def test_wire_surface(self, ros_stub):
+        from vofod_tpu.runtime.ros_adapter import RosMaskCreator
+
+        RosMaskCreator(self._mc())
+        assert set(ros_stub.subs) == {"~pointcloud"}
+        # the second nodelet's services: save AND reset (:75-76)
+        assert set(ros_stub.srvs) == {"~save", "~reset"}
+        assert "~mask" in ros_stub.pubs
+        # 20 Hz display loop (ref sleeps 0.05 s, :188)
+        assert ros_stub.timers and ros_stub.timers[-1][0] == pytest.approx(0.05)
+
+    def test_accumulate_and_publish_mono8(self, ros_stub):
+        from vofod_tpu.runtime.ros_adapter import RosMaskCreator
+
+        node = RosMaskCreator(self._mc())
+        cb = ros_stub.subs["~pointcloud"]
+        r = np.full(H * W, 5000, np.uint32)
+        dead = np.arange(0, H * W, 7)
+        r[dead] = 0  # pixels that EVER return 0 go occluded (:225-233)
+        cb(_pc_msg(r))
+        r2 = np.full(H * W, 5000, np.uint32)  # later scans don't resurrect
+        cb(_pc_msg(r2))
+        ros_stub.timers[-1][1](None)
+        img = ros_stub.pubs["~mask"].published[-1]
+        assert (img.height, img.width) == (H, W)
+        assert img.encoding == "mono8" and img.step == W
+        m = np.frombuffer(img.data, np.uint8).reshape(H, W).reshape(-1)
+        assert (m[dead] == 0).all()
+        keep = np.setdiff1d(np.arange(H * W), dead)
+        assert (m[keep] == 255).all()
+
+    def test_save_and_reset_services(self, ros_stub, tmp_path):
+        from vofod_tpu.runtime.ros_adapter import RosMaskCreator
+
+        path = str(tmp_path / "mask.npy")
+        node = RosMaskCreator(self._mc(), mask_fname=path)
+        cb = ros_stub.subs["~pointcloud"]
+        r = np.full(H * W, 5000, np.uint32)
+        r[:10] = 0
+        cb(_pc_msg(r))
+        resp = ros_stub.srvs["~save"](None)
+        assert resp.success and "saved" in resp.message.lower()
+        saved = np.load(path).reshape(-1)
+        assert (saved[:10] == 0).all() and saved[10:].all()
+        resp = ros_stub.srvs["~reset"](None)
+        assert resp.success and "reset" in resp.message.lower()
+        assert node.mc.mask().all() and node.mc.n_scans == 0
+
+    def test_remap_and_suffix(self, ros_stub):
+        """Same remap/rosbag-suffix semantics as the detector adapter:
+        subscriptions/services remap only; the mask image is an output."""
+        from vofod_tpu.runtime.ros_adapter import RosMaskCreator
+
+        RosMaskCreator(
+            self._mc(),
+            remap={"~pointcloud": "/uav1/os_cloud_nodelet/points"},
+            topic_suffix="_",
+        )
+        assert set(ros_stub.subs) == {"/uav1/os_cloud_nodelet/points"}
+        assert "~mask_" in ros_stub.pubs
+        assert set(ros_stub.srvs) == {"~save", "~reset"}

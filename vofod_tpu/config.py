@@ -90,6 +90,16 @@ class VoFODConfig:
         default_factory=lambda: Box((0.09, 0.0, -0.75 + 0.8), (2.5, 2.5, 1.6))
     )
 
+    # apriori-map placement (ref vofod_nodelet.cpp:213-226): the cloud is
+    # translated by tf + sim_correction FIRST, then rotated by yaw about Z
+    # (Eigen right-multiplication: apriori_map_tf = R * T(translation), so
+    # p' = R @ (p + t)); the operation area itself also shifts by
+    # sim_correction (:219-222).  `from_dicts` applies the oparea shift;
+    # runtime.node.VoFOD.load_apriori_map applies the cloud transform.
+    apriori_tf_yaw_deg: float = 0.0
+    apriori_tf: tuple[float, float, float] = (0.0, 0.0, 0.0)
+    apriori_sim_correction: tuple[float, float, float] = (0.0, 0.0, 0.0)
+
     ground_points_max_distance: float = 1.5
     background_sufficient_points_ratio: float = 0.15
     # geometry-affecting: shapes the sepclusters adjacency/demotion stencils
@@ -248,16 +258,42 @@ class VoFODConfig:
             )
             size = (float(eb["size"]["x"]), float(eb["size"]["y"]), float(eb["size"]["z"]))
             kw["exclude_box"] = Box(off, size)
+        # apriori_map/tf + sim_correction (ref vofod_nodelet.cpp:213-226):
+        # tf/yaw+xyz place the cloud; sim_correction additionally shifts BOTH
+        # the cloud and the operation area itself (:219-222)
+        corr = (0.0, 0.0, 0.0)
+        if apriori and "apriori_map" in apriori:
+            am = apriori["apriori_map"] or {}
+            tf = am.get("tf", {}) or {}
+            kw["apriori_tf_yaw_deg"] = float(tf.get("yaw", 0.0))
+            kw["apriori_tf"] = (
+                float(tf.get("x", 0.0)),
+                float(tf.get("y", 0.0)),
+                float(tf.get("z", 0.0)),
+            )
+            sc = am.get("sim_correction", {}) or {}
+            corr = (
+                float(sc.get("x", 0.0)),
+                float(sc.get("y", 0.0)),
+                float(sc.get("z", 0.0)),
+            )
+            kw["apriori_sim_correction"] = corr
         if apriori and "operation_area" in apriori:
             oa = apriori["operation_area"]
             off = (
-                float(oa["offset"]["x"]),
-                float(oa["offset"]["y"]),
+                float(oa["offset"]["x"]) + corr[0],
+                float(oa["offset"]["y"]) + corr[1],
                 # ref: vofod_nodelet.cpp:212 — z offset is the bottom in YAML
-                float(oa["offset"]["z"]) + float(oa["size"]["z"]) / 2.0,
+                float(oa["offset"]["z"]) + float(oa["size"]["z"]) / 2.0 + corr[2],
             )
             size = (float(oa["size"]["x"]), float(oa["size"]["y"]), float(oa["size"]["z"]))
             kw["oparea"] = Box(off, size)
+        elif corr != (0.0, 0.0, 0.0):
+            # nonzero sim_correction shifts the (default) operation area too
+            base = VoFODConfig.__dataclass_fields__["oparea"].default_factory()
+            kw["oparea"] = Box(
+                tuple(o + c for o, c in zip(base.offset, corr)), base.size
+            )
         if sensor and "sensor" in sensor:
             s = sensor["sensor"]
             fov = s.get("vertical_fov_angle", 90.0)

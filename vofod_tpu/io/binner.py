@@ -230,12 +230,94 @@ class HostBinner:
             | (bmask.astype(np.uint8) << 7)
         )
         if intensity is None:  # same ones substitution as bin() (raw-step parity)
-            act_i = np.full(self.n, np.float32(1.0) >= min_intensity)
+            act_i = np.full(self.n, not (np.float32(1.0) < np.float32(min_intensity)))
         else:
-            act_i = np.asarray(intensity).reshape(-1) >= min_intensity
+            # ref rule is `intensity < min -> skip` (:1449): NaN passes
+            act_i = ~(np.asarray(intensity).reshape(-1) < min_intensity)
         active = (act_i & ((self.mask > 0) | has_return)).astype(np.uint8)
         return BinnedScan(
             packed=packed.reshape(self.shape), active=active, pose=pose,
             n_valid_points=int(valid.sum()),
             n_exclude_hits=int((blocker & excl).sum()),
         )
+
+
+# -----------------------------------------------------------------------------
+# Ingest-mode startup probe
+# -----------------------------------------------------------------------------
+
+# device-histogram cost the raw path pays and prebinned removes, measured by
+# whole-workload ablation on the v5e (DESIGN §7 per-stage table)
+RAW_DEVICE_SCATTER_MS = 1.5
+
+
+def choose_ingest(
+    t_raw_up_ms: float, t_pre_up_ms: float, t_bin_ms: float,
+    scatter_ms: float = RAW_DEVICE_SCATTER_MS,
+) -> str:
+    """The pure decision rule behind ``frontend_mode="auto"``.
+
+    Per-scan cost of each ingest on THIS deployment's transport:
+      raw       = raw upload (0.52 MB)   + the device histogram scatter
+      prebinned = packed upload (2.47 MB) + the host bin
+    Pick the cheaper.  With the round-4 tunnel measurements (raw up ~31 ms
+    at the relay floor, packed up ~3x that) this picks raw; with attached
+    PCIe numbers (~0.05/0.15 ms uploads) it picks prebinned — matching
+    DESIGN §7's analysis, but measured per deployment instead of assumed.
+    """
+    raw_cost = t_raw_up_ms + scatter_ms
+    pre_cost = t_pre_up_ms + t_bin_ms
+    return "raw" if raw_cost <= pre_cost else "prebinned"
+
+
+def probe_ingest_mode(
+    cfg, lut, mask: np.ndarray | None = None, rounds: int = 3
+) -> tuple[str, dict]:
+    """Measure this deployment's transport once and pick the ingest default.
+
+    Times (best-of-``rounds``, content-varying — tunneled transports memoize
+    identical transfers, CLAUDE.md): one raw-scan-sized upload+readback, one
+    packed-grid-sized upload+readback, and one warm host bin.  Returns
+    ``(mode, details)`` where details carries every measured number for the
+    startup log.  Round-4 context: through the tunnel raw wins stably
+    (21.4-28.2 scans/s vs 9.0-15.4); the attached-hardware prebinned
+    recommendation was extrapolated until this probe existed.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    n_pts = int(np.prod([lut.height, lut.width]))
+    hb = HostBinner(cfg, lut, mask=mask)
+    rng = np.random.default_rng(0)
+    pose = np.eye(4, dtype=np.float32)
+    ranges = rng.integers(0, 20000, n_pts, dtype=np.uint32)
+    b = hb.bin(ranges, pose)  # warm (native ctx, caches)
+    jax.block_until_ready(jnp.asarray(b.packed))  # warm alloc path
+
+    t_bin = t_raw = t_pre = float("inf")
+    for k in range(rounds):
+        r = rng.integers(0, 20000, n_pts, dtype=np.uint32)
+        t0 = time.perf_counter()
+        b = hb.bin(r, pose)
+        t_bin = min(t_bin, (time.perf_counter() - t0) * 1e3)
+
+        raw = r.astype(np.float32)
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.asarray(raw)))
+        t_raw = min(t_raw, (time.perf_counter() - t0) * 1e3)
+
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.asarray(b.packed).astype(jnp.int32)))
+        t_pre = min(t_pre, (time.perf_counter() - t0) * 1e3)
+
+    mode = choose_ingest(t_raw, t_pre, t_bin)
+    return mode, {
+        "t_raw_upload_ms": round(t_raw, 2),
+        "t_prebinned_upload_ms": round(t_pre, 2),
+        "t_host_bin_ms": round(t_bin, 2),
+        "scatter_ms": RAW_DEVICE_SCATTER_MS,
+        "raw_bytes": n_pts * 4,
+        "prebinned_bytes": int(np.prod(hb.shape)),
+    }

@@ -414,14 +414,21 @@ def _sweep_cones_z_pipelined(
 class AngularGate(NamedTuple):
     """Static (trace-time) description of the pixel-lattice → angle mapping.
 
-    Built once per sensor LUT by :func:`make_angular_gate`.  The row↔elevation
-    and column↔azimuth maps are linear fits of the LUT itself — exact for the
-    ideal spherical model and the Ouster encoder-azimuth model; non-uniform
-    beam-altitude tables sample the gate slightly off-row (bounded by the
-    table's deviation from linearity, ≪ the pooled bin size for real Ousters).
+    Built once per sensor LUT by :func:`make_angular_gate`.  The col↔azimuth
+    map is a linear fit of the LUT — exact for the ideal spherical model and
+    the Ouster encoder-azimuth model (θ_e is linear in the column by
+    construction, vofod_nodelet.cpp:358-371).  The row↔elevation map is
+    linear ONLY when the LUT's beam-altitude table is itself linear in the
+    row (sim LUTs, uniform Ousters); calibrated non-uniform tables
+    (gradient/gamma-spaced beams) deviate by MULTIPLE pooled bins — measured
+    1.5-2.5 bins for OS-style gradient tables — so for those
+    :func:`make_angular_gate` stores the per-row elevation table ``el_rows``
+    and :func:`gate_faces` inverts it exactly (monotone rank-by-comparison +
+    one-hot matmul, gather-free, still static).  Pinned by
+    tests/test_raycast.py::TestAngularGateCalibratedLut.
     """
 
-    el_a: float  # row_f = (el - el_b) / el_a
+    el_a: float  # row_f = (el - el_b) / el_a  (linear fallback / FOV window)
     el_b: float
     az_a: float  # col_f = (az_unwrapped - az_b) / az_a
     az_b: float
@@ -431,6 +438,10 @@ class AngularGate(NamedTuple):
     n_cols: int
     col_period: float  # azimuth period in pooled-column units (wraps)
     face_dirs: np.ndarray  # [6, F, F, 3] world-frame cube-face texel dirs
+    # [H] per-row mean elevation (monotone), or None when the linear fit is
+    # exact to <0.1 row — then the cheaper linear map is used, bit-identical
+    # to the pre-table behavior for sim/uniform LUTs
+    el_rows: np.ndarray | None = None
 
 
 def _largest_divisor_leq(n: int, k: int) -> int:
@@ -480,6 +491,19 @@ def make_angular_gate(
         el_a, el_b = np.polyfit(np.arange(H), el_row, 1)
     else:
         el_a, el_b = 1.0, float(el_row[0])
+    # keep the cheap linear row map only when it IS the table (sim / uniform
+    # beam spacing); calibrated non-uniform altitude tables get the exact
+    # per-row inverse in gate_faces (deviation measured at 1.5-2.5 pooled
+    # bins for gradient-spaced Ousters — far past the documented bound)
+    el_rows = None
+    if H > 1:
+        row_lin = (el_row - el_b) / el_a
+        if np.abs(row_lin - np.arange(H)).max() > 0.1:
+            d = np.diff(el_row)
+            assert (d > 0).all() or (d < 0).all(), (
+                "beam-altitude table must be monotone in the row"
+            )
+            el_rows = el_row.astype(np.float64)
 
     mid = dirs[H // 2]
     az_col = np.unwrap(np.arctan2(mid[:, 1], mid[:, 0]))
@@ -501,7 +525,35 @@ def make_angular_gate(
         n_cols=W // pool_h,
         col_period=float(2.0 * np.pi / abs(az_a) / pool_h),
         face_dirs=_face_dirs(face_res),
+        el_rows=el_rows,
     )
+
+
+def _row_from_elevation(gate: AngularGate, el: Array) -> Array:
+    """Continuous full-resolution row coordinate for elevations ``el`` [P].
+
+    Linear map when the LUT's altitude table is linear; otherwise the exact
+    monotone inverse of ``gate.el_rows``: segment index by rank (a [P, H]
+    comparison sum — no gather), segment endpoints by one-hot matmul, linear
+    within the segment (exact at every row center) and end-segment-slope
+    extrapolation beyond the table (so row tents vanish past the FOV exactly
+    like the linear map).
+    """
+    if gate.el_rows is None:
+        return (el - gate.el_b) / gate.el_a
+    tbl = np.asarray(gate.el_rows, np.float32)
+    sgn = 1.0 if tbl[-1] > tbl[0] else -1.0
+    f = jnp.asarray(sgn * tbl)  # [H] increasing, static constant
+    t = sgn * el  # [P]
+    H = f.shape[0]
+    idx = jnp.clip(
+        jnp.sum((t[:, None] >= f[None, :]).astype(jnp.int32), axis=-1) - 1,
+        0, H - 2,
+    )  # [P] segment index
+    onehot = (idx[:, None] == jnp.arange(H - 1)[None, :]).astype(jnp.float32)
+    f0 = onehot @ f[:-1]  # [P]
+    f1 = onehot @ f[1:]
+    return idx.astype(jnp.float32) + (t - f0) / (f1 - f0)
 
 
 def gate_faces(gate: AngularGate, active_hw: Array, rot_s2w: Array) -> Array:
@@ -509,7 +561,8 @@ def gate_faces(gate: AngularGate, active_hw: Array, rot_s2w: Array) -> Array:
 
     Args:
       active_hw: [H, W] bool/float — pixels that actually cast a ray this
-        scan: ``(intensity >= min_intensity) & (mask | range > 0)``
+        scan: ``~(intensity < min_intensity) & (mask | range > 0)`` —
+        the negated reference skip rule, so NaN intensity passes
         (ref vofod_nodelet.cpp:1449-1450).
       rot_s2w: [3, 3] sensor-to-world rotation (traced).
 
@@ -529,7 +582,7 @@ def gate_faces(gate: AngularGate, active_hw: Array, rot_s2w: Array) -> Array:
     el = jnp.arcsin(jnp.clip(d_s[:, 2], -1.0, 1.0))
     az = jnp.arctan2(d_s[:, 1], d_s[:, 0])
 
-    g_r = ((el - gate.el_b) / gate.el_a + 0.5) / gate.pool_v - 0.5  # [P]
+    g_r = (_row_from_elevation(gate, el) + 0.5) / gate.pool_v - 0.5  # [P]
     g_c = jnp.mod(
         ((az - gate.az_b) / gate.az_a + 0.5) / gate.pool_h - 0.5,
         gate.col_period,

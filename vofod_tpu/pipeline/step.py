@@ -290,7 +290,10 @@ def _make_step_fn(
                     r == 0.0, max_d, jnp.minimum(r - cfg.voxel_size, max_d)
                 )
                 rvalid = (
-                    (scan.intensity >= dyn.raycast_min_intensity)
+                    # ref gate is `intensity < min -> skip` (:1449), so NaN
+                    # intensity PASSES (NaN < x is false) — keep the negated
+                    # form for bit parity, not `>=`
+                    ~(scan.intensity < dyn.raycast_min_intensity)
                     & (mask_dev | (r > 0))  # ref :1449-1450
                     & grid.in_limits(starts)
                 )
@@ -310,9 +313,9 @@ def _make_step_fn(
                             scan.ranges_mm.astype(jnp.float32)
                             * RANGE_TO_METERS
                         )
-                        active = (
-                            scan.intensity >= dyn.raycast_min_intensity
-                        ) & (mask_dev | (r > 0))  # ref :1449-1450
+                        active = ~(
+                            scan.intensity < dyn.raycast_min_intensity
+                        ) & (mask_dev | (r > 0))  # ref :1449-1450 (NaN passes)
                     faces = gate_faces(
                         gate_spec,
                         active.reshape(

@@ -43,6 +43,7 @@ fetch), which is what makes the pod-slice story testable without a pod.
 from __future__ import annotations
 
 import logging
+import time
 
 import jax
 import jax.numpy as jnp
@@ -78,6 +79,39 @@ def initialize_multihost(
     jax.distributed.initialize(
         coordinator_address, num_processes=num_processes, process_id=process_id, **kw
     )
+
+
+def probe_transport_rtt(n_bytes: int = 524_288, rounds: int = 3) -> float:
+    """Measure one scan-sized host→device upload plus one scalar readback
+    (ms) — the per-message transport legs that set the fleet-batching knee
+    (DESIGN §7).  Content varies per round (tunneled transports memoize
+    identical transfers — CLAUDE.md timing traps) and the best round is the
+    transport-limited figure.  ~30 ms through the axon relay, <1 ms attached.
+    """
+    n = n_bytes // 4
+    warm = jnp.zeros(n, jnp.float32)
+    float(jnp.sum(warm))  # warm the alloc/compile path
+    best = float("inf")
+    for k in range(rounds):
+        buf = np.zeros(n, np.float32)
+        buf[0] = float(k + 1)
+        t0 = time.perf_counter()
+        float(jnp.sum(jnp.asarray(buf)))
+        best = min(best, (time.perf_counter() - t0) * 1e3)
+    return best
+
+
+def pick_stream_knee(rtt_ms: float, n_devices: int = 1) -> tuple[int, str]:
+    """Streams-per-chip knee by transport.  The round-4 sweep measured
+    N≈12 streams/chip as the largest fleet meeting the reference's 10 Hz
+    sensor cadence through the tunneled relay (~30 ms per-message legs,
+    DESIGN §7); on attached hardware the same amortization arithmetic
+    extrapolates to ~32/chip (EXTRAPOLATED — never measured on an attached
+    transport, see README's honesty note).  Pure given the probed rtt, so
+    the policy itself is testable without a device."""
+    if rtt_ms >= 5.0:
+        return 12 * n_devices, "relay"
+    return 32 * n_devices, "attached"
 
 
 class FleetVoFOD:
@@ -144,6 +178,10 @@ class FleetVoFOD:
         # pose (lost TF — see _sanitize_rows)
         self.n_pose_rejected = np.zeros(self.n_streams, np.int64)
         self._log = logging.getLogger("vofod_tpu.fleet")
+        # throttle clock for pose-rejection warnings (ref throttles this
+        # exact message: NODELET_ERROR_THROTTLE(1.0), vofod_nodelet.cpp:919)
+        self._last_pose_warn = 0.0
+        self.pose_warn_period = 1.0
 
     def _sanitize_rows(
         self, r: np.ndarray, p: np.ndarray, global_ids
@@ -169,12 +207,20 @@ class FleetVoFOD:
             )
             r[bad] = 0.0
             p[bad] = sentinel
+            bad_streams = []
             for li in np.nonzero(bad)[0]:
                 g = global_ids[li]
                 self.n_pose_rejected[g] += 1
+                bad_streams.append(int(g))
+            # one throttled line for ALL rejected streams this step: a fleet
+            # TF outage at sensor rate x N streams must not flood the log
+            now = time.time()
+            if now - self._last_pose_warn >= self.pose_warn_period:
+                self._last_pose_warn = now
                 self._log.warning(
-                    "stream %d: non-finite pose — null scan (%d rejected)",
-                    g, int(self.n_pose_rejected[g]),
+                    "streams %s: non-finite pose — null scan "
+                    "(%d rejected total)",
+                    bad_streams, int(self.n_pose_rejected.sum()),
                 )
         return r, p
 
@@ -245,17 +291,33 @@ class FleetVoFOD:
         }
 
     def process_scans(
-        self, ranges_mm: np.ndarray, poses: np.ndarray, stamp: float = 0.0
+        self,
+        ranges_mm: np.ndarray,
+        poses: np.ndarray,
+        stamp: float = 0.0,
+        intensity: np.ndarray | None = None,
     ) -> list[Detections]:
-        """ranges_mm: [B, H*W]; poses: [B, 4, 4].  Returns one Detections
-        message per stream."""
+        """ranges_mm: [B, H*W]; poses: [B, 4, 4]; intensity: optional
+        [B, H*W] (sources without the channel substitute all-ones, same as
+        the single-stream node — the ``raycast/min_intensity`` gate,
+        vofod_nodelet.cpp:1449, is live under the batched step either way).
+        Returns one Detections message per stream."""
         B = self.n_streams
         r = np.asarray(ranges_mm, np.float32).reshape(B, -1)
         p = np.asarray(poses, np.float32).reshape(B, 4, 4)
         r, p = self._sanitize_rows(r, p, range(B))
+        i = (
+            jnp.ones((B, self.cfg.sensor.n_points), jnp.float32)
+            if intensity is None
+            else jnp.asarray(
+                np.asarray(intensity, np.float32).reshape(
+                    B, self.cfg.sensor.n_points
+                )
+            )
+        )
         scans = ScanInput(
             ranges_mm=jnp.asarray(r),
-            intensity=jnp.ones((B, self.cfg.sensor.n_points), jnp.float32),
+            intensity=i,
             pose=jnp.asarray(p),
         )
         self.state, out = self._step(self.state, scans, self.dyn.as_arrays())
@@ -270,11 +332,23 @@ class FleetVoFOD:
         Runs as a jitted masked write on the sharded grid (no host round-trip
         of the state), so it works on a multi-host mesh too — call it with the
         same cloud on every host.
+
+        The config's ``apriori_map/tf`` + ``sim_correction`` placement is
+        applied exactly like the single-stream node (ref
+        vofod_nodelet.cpp:224-225: ``p' = R_yaw @ (p + t + sim_correction)``).
         """
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        from vofod_tpu.geometry import yaw_rotation
+
         g = self.grid_spec
         pts = np.asarray(points_xyz, np.float32)
+        if pts.size:
+            t = np.asarray(self.cfg.apriori_tf, np.float32) + np.asarray(
+                self.cfg.apriori_sim_correction, np.float32
+            )
+            R = yaw_rotation(np.deg2rad(self.cfg.apriori_tf_yaw_deg))
+            pts = (pts + t) @ R.T
         ox, oy, oz = g.origin
         idx = np.floor((pts - np.array([ox, oy, oz])) / g.voxel_size).astype(np.int64)
         ok = (

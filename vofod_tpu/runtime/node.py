@@ -44,7 +44,22 @@ class NodeOptions:
     # (io/binner.py, native/frontend.cpp) and the packed count grid rides
     # the upload; the device frontend is a pure elementwise unpack
     # (no histogram scatter).  Pairs with the sweep raycast only.
+    # "auto": probe THIS deployment's transport once at startup (one raw-
+    # sized and one packed-sized upload + one warm host bin, io/binner.py
+    # probe_ingest_mode) and pick the cheaper ingest — raw through a
+    # relay-bound tunnel, prebinned on attached hardware, measured rather
+    # than assumed (DESIGN §7).
     frontend_mode: str = "raw"
+    # jax.profiler device-trace capture (SURVEY §5's per-kernel attribution
+    # tool, pairing with the ProfilingInfo event stream): when set, ONE
+    # trace window covering scans [trace_skip, trace_skip + trace_scans) is
+    # written to this directory (TensorBoard/xprof format).  trace_skip
+    # defaults past the compile scan so the window holds steady-state
+    # dispatches; works for both the fused step and StagedStep (whose three
+    # per-stage dispatches land in the same window, individually visible).
+    trace_dir: str = ""
+    trace_skip: int = 2
+    trace_scans: int = 3
 
 
 class VoFOD:
@@ -71,6 +86,17 @@ class VoFOD:
             self.cfg.sensor.vertical_rays,
             mangle=self.options.mask_mangle,
         )
+        if self.options.frontend_mode == "auto":
+            from dataclasses import replace as _dc_replace
+
+            from vofod_tpu.io.binner import probe_ingest_mode
+
+            mode, probe = probe_ingest_mode(self.cfg, self.lut, mask=self.mask)
+            logging.getLogger("vofod_tpu").info(
+                "ingest probe picked %r: %s", mode, probe
+            )
+            self.options = _dc_replace(self.options, frontend_mode=mode)
+            self.ingest_probe = probe
         kw = dict(
             raycast_mode=self.options.raycast_mode,
             raycast_every=self.options.raycast_every,
@@ -102,6 +128,9 @@ class VoFOD:
         self.last_diag = None
         self._log = logging.getLogger("vofod_tpu")
         self._last_log = 0.0
+        self._last_pose_warn = 0.0  # throttle clock for pose-rejection warnings
+        # device-trace window state: "pending" -> "on" -> "done"
+        self._trace_state = "pending" if self.options.trace_dir else "done"
 
     # ------------------------------------------------------------------ scans
     def process_scan(
@@ -162,10 +191,17 @@ class VoFOD:
             # raycast), but a NaN ROTATION with a finite translation would
             # reach the raycast gate math.  Contract: tests/test_hostile_inputs.py.
             self.n_pose_rejected += 1
-            self._log.warning(
-                "non-finite pose — scan skipped (%d rejected so far)",
-                self.n_pose_rejected,
-            )
+            # throttled like the reference's transform-failure error
+            # (NODELET_ERROR_THROTTLE(1.0), vofod_nodelet.cpp:919): a
+            # persistent TF outage at sensor rate must not flood the log;
+            # the n_pose_rejected counter stays exact either way
+            now = time.time()
+            if now - self._last_pose_warn >= self.options.throttle_period:
+                self._last_pose_warn = now
+                self._log.warning(
+                    "non-finite pose — scan skipped (%d rejected so far)",
+                    self.n_pose_rejected,
+                )
             return None, stamp, stimer
         if self._binner is not None:
             inten_np = (
@@ -198,6 +234,12 @@ class VoFOD:
                 pose=jnp.asarray(pose_np),
             )
         stimer.checkpoint("upload")
+        if (
+            self._trace_state == "pending"
+            and self._host_step >= self.options.trace_skip
+        ):
+            jax.profiler.start_trace(self.options.trace_dir)
+            self._trace_state = "on"
         if self.options.profile_stages:
             # staged pipeline: three timed dispatches -> routine events with
             # REAL per-stage device durations (ref per-thread events,
@@ -208,6 +250,20 @@ class VoFOD:
                 self.state, out = self._step(self.state, scan, self.dyn)
         stimer.checkpoint("dispatch")
         self._host_step += 1
+        if (
+            self._trace_state == "on"
+            and self._host_step
+            >= self.options.trace_skip + self.options.trace_scans
+        ):
+            # block so the traced window holds COMPLETED device activity,
+            # not just the async dispatches
+            jax.block_until_ready(self.state)
+            jax.profiler.stop_trace()
+            self._trace_state = "done"
+            self._log.info(
+                "device trace (%d scans) written to %s",
+                self.options.trace_scans, self.options.trace_dir,
+            )
         if not self.options.profile_stages:
             # the fused step subsumes the reference's raycast and sepclusters
             # threads; emit their START/END markers so downstream
@@ -364,21 +420,35 @@ class VoFOD:
 
     # ------------------------------------------------------------ apriori map
     def load_apriori_map(
-        self, points_xyz: np.ndarray, yaw_deg: float = 0.0,
-        translation=(0.0, 0.0, 0.0),
+        self, points_xyz: np.ndarray, yaw_deg: float | None = None,
+        translation=None,
     ) -> int:
         """Stamp an apriori static cloud into the map as +inf background
         (ref initialize_apriori_map, vofod_nodelet.cpp:305-355).
 
+        yaw_deg/translation default to the config's ``apriori_map/tf`` with
+        ``sim_correction`` folded into the translation, composed as the
+        reference does (vofod_nodelet.cpp:224-225: Eigen ``rotate`` then
+        ``translate`` right-multiply, so the map transform is ``R * T`` and
+        ``p' = R @ (p + t + sim_correction)``).
+
         Returns the number of stamped voxels."""
         from vofod_tpu.geometry import yaw_rotation
 
+        if yaw_deg is None:
+            yaw_deg = self.cfg.apriori_tf_yaw_deg
+        if translation is None:
+            translation = tuple(
+                t + c for t, c in zip(
+                    self.cfg.apriori_tf, self.cfg.apriori_sim_correction
+                )
+            )
         pts = np.asarray(points_xyz, np.float32)
         if pts.size == 0:
             self._apriori_loaded = True
             return 0
         R = yaw_rotation(np.deg2rad(yaw_deg))
-        pts = pts @ R.T + np.asarray(translation, np.float32)
+        pts = (pts + np.asarray(translation, np.float32)) @ R.T
         g = self.grid_spec
         ox, oy, oz = g.origin
         idx = np.floor((pts - np.array([ox, oy, oz])) / g.voxel_size).astype(np.int64)

@@ -29,6 +29,12 @@ never suffixed, matching the launch file).
 
 TF lookups that fail are logged loudly and counted (the reference warns per
 failure, vofod_nodelet.cpp:913-923) — scans are never silently dropped.
+
+The reference's SECOND nodelet, vofod/MaskCreator, has its own wire surface
+here too (:class:`RosMaskCreator` — src/mask_creator.cpp:63-76):
+  in : ~pointcloud (the same organized cloud)
+  out: ~mask (sensor_msgs/Image mono8, 255 = usable, published at 20 Hz)
+  srv: ~save / ~reset (std_srvs/Trigger)
 """
 
 from __future__ import annotations
@@ -122,6 +128,23 @@ def profiling_event_to_json(evt) -> str:
     )
 
 
+def _extract_ranges(msg) -> np.ndarray:
+    """Organized PointCloud2 -> [H*W] uint32 ranges (mm): the 'range' field
+    when present (the Ouster driver's native channel, what the reference's
+    pc_t carries), else recomputed from xyz."""
+    import sensor_msgs.point_cloud2 as pc2
+
+    fields = [f.name for f in msg.fields]
+    if "range" in fields:
+        return np.array(
+            list(pc2.read_points(msg, field_names=("range",))), np.uint32
+        ).reshape(-1)
+    xyz = np.array(
+        list(pc2.read_points(msg, field_names=("x", "y", "z"))), np.float64
+    )
+    return pointcloud2_to_ranges({"xyz": xyz}, msg.height, msg.width)
+
+
 # -----------------------------------------------------------------------------
 # The rospy node
 # -----------------------------------------------------------------------------
@@ -195,18 +218,8 @@ class RosNode:
         import sensor_msgs.point_cloud2 as pc2
         from std_msgs.msg import String
 
-        H, W = msg.height, msg.width
         fields = [f.name for f in msg.fields]
-        if "range" in fields:
-            ranges = np.array(
-                list(pc2.read_points(msg, field_names=("range",))), np.uint32
-            ).reshape(-1)
-        else:
-            xyz = np.array(
-                list(pc2.read_points(msg, field_names=("x", "y", "z"))),
-                np.float64,
-            )
-            ranges = pointcloud2_to_ranges({"xyz": xyz}, H, W)
+        ranges = _extract_ranges(msg)
         # intensity gates raycast pixels (ref vofod_nodelet.cpp:1449);
         # newer Ouster drivers name the channel "signal"
         inten = None
@@ -311,3 +324,77 @@ class RosNode:
                 f"failed ({e}); dropping message ({self.tf_failures} so far)",
             )
             return None
+
+
+# -----------------------------------------------------------------------------
+# The MaskCreator nodelet's wire surface
+# -----------------------------------------------------------------------------
+
+
+class RosMaskCreator:
+    """The reference's SECOND nodelet, vofod/MaskCreator
+    (src/mask_creator.cpp:63-76, 193-260): accumulate an FOV mask from live
+    scans (any pixel that ever returns range == 0 is marked occluded,
+    cloud_callback :217-235), publish the current mask as a mono8 image at
+    20 Hz (display_loop :164-189 sleeps 0.05 s between publishes), and expose
+    ``~save`` / ``~reset`` Trigger services (:193-211).
+
+    The accumulator itself is runtime.mask_creator.MaskCreator (a jitted
+    reduce); this class is only the rospy shell, with the same remap /
+    rosbag-suffix semantics as RosNode.
+    """
+
+    def __init__(self, creator, mask_fname: str = "mask.png",
+                 publish_rate_hz: float = 20.0,
+                 remap: dict | None = None, topic_suffix: str = ""):
+        if not ros_available():
+            raise RuntimeError(
+                "rospy not available — use runtime.mask_creator.MaskCreator "
+                "directly (tools/create_mask.py is the offline CLI)"
+            )
+        import rospy
+        from sensor_msgs.msg import Image, PointCloud2
+        from std_srvs.srv import Trigger
+
+        self.mc = creator
+        self.mask_fname = mask_fname  # ref param mask_fname (:50-56)
+        remap = remap or {}
+        sub = lambda name: remap.get(name, name)
+        out = lambda name: remap.get(name, name) + topic_suffix
+        rospy.Subscriber(sub("~pointcloud"), PointCloud2, self._pc_cb,
+                         queue_size=2)
+        self._pub_mask = rospy.Publisher(out("~mask"), Image, queue_size=1)
+        self._srv_reset = rospy.Service(sub("~reset"), Trigger, self._reset_cb)
+        self._srv_save = rospy.Service(sub("~save"), Trigger, self._save_cb)
+        self._timer = rospy.Timer(
+            rospy.Duration(1.0 / publish_rate_hz), self._display_cb
+        )
+
+    def _pc_cb(self, msg):
+        self.mc.add_scan(_extract_ranges(msg))
+
+    def _display_cb(self, _evt):
+        import rospy
+        from sensor_msgs.msg import Image
+
+        m = self.mc.mask() * np.uint8(255)  # 255 = usable, like the cv::Mat
+        img = Image()
+        img.header.stamp = rospy.Time.now()
+        img.height, img.width = m.shape
+        img.encoding = "mono8"
+        img.is_bigendian = 0
+        img.step = m.shape[1]
+        img.data = m.tobytes()
+        self._pub_mask.publish(img)
+
+    def _reset_cb(self, _req):
+        from std_srvs.srv import TriggerResponse
+
+        self.mc.reset()
+        return TriggerResponse(success=True, message="Mask reset.")
+
+    def _save_cb(self, _req):
+        from std_srvs.srv import TriggerResponse
+
+        self.mc.save(self.mask_fname)
+        return TriggerResponse(success=True, message="Mask saved.")

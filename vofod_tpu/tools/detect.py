@@ -46,9 +46,10 @@ def main(argv=None):
     ap.add_argument(
         "--frontend",
         default="raw",
-        choices=["raw", "prebinned"],
+        choices=["raw", "prebinned", "auto"],
         help="prebinned = the production serving ingest (host bins via "
-        "native/frontend.cpp; sweep raycast only)",
+        "native/frontend.cpp; sweep raycast only); auto = probe the "
+        "transport at startup and pick the cheaper ingest (DESIGN §7)",
     )
     ap.add_argument(
         "--small-capacities",

@@ -18,6 +18,15 @@ freshest seen frame rather than skipping (host-local freshness or source
 drain must never change the dispatch count, or the fleet deadlocks inside
 the mesh collectives pairing mismatched ticks).
 
+``--streams auto`` probes the transport once at startup (one scan-sized
+upload + scalar readback, runtime/fleet.py probe_transport_rtt) and picks
+the measured per-chip fleet-batching knee: 12 streams/chip through a
+relay-bound tunnel (the round-4 sweep's largest N meeting the 10 Hz
+cadence), ~32/chip extrapolated for attached hardware (DESIGN §7).  Every
+tick's scan→detections latency is recorded; ``--json`` emits it per tick
+and a final percentile summary (p50/p95/p99) either way — the operator
+sees the knee without rediscovering it by hand.
+
   # single host, one simulated stream per device:
   python -m vofod_tpu.tools.serve_fleet --ticks 50 --sim
 
@@ -40,8 +49,11 @@ import time
 
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--streams", type=int, default=0,
-                    help="total stream count (default: one per device)")
+    ap.add_argument("--streams", default="0",
+                    help="total stream count (default '0': one per device; "
+                    "'auto': probe the transport and pick the measured "
+                    "per-chip knee — 12/chip through a relay-bound tunnel, "
+                    "~32/chip extrapolated for attached hardware; DESIGN §7)")
     ap.add_argument("--scans", default="",
                     help="comma-separated NPZ recordings, round-robined "
                     "across streams (io.scan_source format)")
@@ -118,8 +130,21 @@ def main(argv=None):
             "number (see module docstring)"
         )
 
+    if args.streams == "auto":
+        from vofod_tpu.runtime.fleet import pick_stream_knee, probe_transport_rtt
+
+        rtt = probe_transport_rtt()
+        n_streams, transport = pick_stream_knee(rtt, len(jax.local_devices()))
+        print(
+            f"# --streams auto: probed rtt {rtt:.1f} ms ({transport}) "
+            f"-> {n_streams} streams",
+            file=sys.stderr,
+        )
+    else:
+        n_streams = int(args.streams)
+
     fleet = FleetVoFOD(
-        cfg, dyn, n_streams=args.streams or None,
+        cfg, dyn, n_streams=n_streams or None,
         grid_shards=args.grid_shards,
     )
     local = fleet.local_streams
@@ -184,6 +209,8 @@ def main(argv=None):
     t0 = time.time()
     period = 1.0 / args.rate if args.rate > 0 else 0.0
     next_t = time.time()
+    lat_ms, period_ms = [], []  # per-tick dispatch latency / inter-tick period
+    prev_tick_t = None
     try:
         while args.ticks == 0 or tick < args.ticks:
             fresh = False
@@ -217,10 +244,24 @@ def main(argv=None):
             ranges = np.stack([f[0] for f in last])
             inten = np.stack([f[1] for f in last])
             poses = np.stack([f[2] for f in last])
+            t_tick = time.perf_counter()
             out = fleet.process_local_scans(
                 ranges, poses, stamp=time.time(), intensity=inten
             )
+            # process_local_scans returns HOST messages, so this spans
+            # stacked upload + batched step + fused readback — every
+            # stream's scan->detections latency this tick
+            lat_ms.append((time.perf_counter() - t_tick) * 1e3)
+            if prev_tick_t is not None:
+                period_ms.append((t_tick - prev_tick_t) * 1e3)
+            prev_tick_t = t_tick
             tick += 1
+            if args.json:
+                print(json.dumps({
+                    "tick": tick,
+                    "latency_ms": round(lat_ms[-1], 2),
+                    "period_ms": round(period_ms[-1], 2) if period_ms else None,
+                }))
             for b, msg in sorted(out.items()):
                 for d in msg.detections:
                     rec = {
@@ -248,6 +289,26 @@ def main(argv=None):
         f"({rate:.1f} scans/s aggregate)",
         file=sys.stderr,
     )
+    if lat_ms:
+        # per-stream latency percentiles: each tick is one batched dispatch,
+        # so the tick latency IS every stream's latency that tick (skip the
+        # compile tick — it would dominate every percentile)
+        steady = lat_ms[1:] or lat_ms
+        summary = {
+            "summary": True,
+            "ticks": tick,
+            "streams": len(local),
+            "latency_p50_ms": round(float(np.percentile(steady, 50)), 2),
+            "latency_p95_ms": round(float(np.percentile(steady, 95)), 2),
+            "latency_p99_ms": round(float(np.percentile(steady, 99)), 2),
+        }
+        if period_ms:
+            summary["period_p50_ms"] = round(
+                float(np.percentile(period_ms[1:] or period_ms, 50)), 2
+            )
+        line = json.dumps(summary)
+        print(line if args.json else f"# {line}",
+              file=sys.stdout if args.json else sys.stderr)
     return 0
 
 
