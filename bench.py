@@ -92,6 +92,8 @@ def stamp_apriori(cfg, state):
     ixs = np.floor(
         (g - np.array(cfg.grid_origin)) / cfg.voxel_size
     ).astype(int)
+    nz, ny, nx = cfg.grid_shape
+    ixs = ixs[np.all((ixs >= 0) & (ixs < [nx, ny, nz]), axis=1)]
     vals = np.array(jax.device_get(state.grid))
     vals[..., ixs[:, 2], ixs[:, 1], ixs[:, 0]] = np.inf
     return state._replace(grid=jnp.asarray(vals))
@@ -213,7 +215,14 @@ def measure_fleet_latency_at_cadence(cfg, lut, scans, n_streams, rate_hz=10.0,
     at the fixed sensor cadence: each tick, N scans arrive together, ride ONE
     stacked upload into the batched step and one fused readback (the
     serve_fleet path), so every stream's latency this tick is the tick
-    latency.  Returns (p50, p95, p99) ms per stream."""
+    latency.
+
+    Returns (p50, p95, p99, tick_p50) ms per stream.  tick_p50 is the
+    median PROCESSING time of a tick; when it exceeds the cadence period
+    the fixed-rate loop falls behind and the latency percentiles measure
+    cumulative queueing (seconds, growing with run length) rather than a
+    steady state — the honest overload signature; bench main() reports
+    ``fleet{N}_cadence_met`` so the artifact is self-describing."""
     import jax
     import jax.numpy as jnp
 
@@ -254,22 +263,27 @@ def measure_fleet_latency_at_cadence(cfg, lut, scans, n_streams, rate_hz=10.0,
     assert bool(np.all(d.bg_sufficient)), "fleet latency bench must be converged"
 
     period = 1.0 / rate_hz
-    best = None
+    best = best_ticks = None
     for _ in range(rounds):
-        lats = []
+        lats, ticks = [], []
         t0 = time.perf_counter() + 0.05
         for k in range(n_ticks):
             t_arr = t0 + k * period
             now = time.perf_counter()
             if now < t_arr:
                 time.sleep(t_arr - now)
+            t_run = time.perf_counter()
             state, out = bstep(state, tick_scan(k), dyn)
             _ = jax.device_get(out.detections)  # fused per-tick readback
-            lats.append(time.perf_counter() - t_arr)
+            done = time.perf_counter()
+            lats.append(done - t_arr)
+            ticks.append(done - t_run)
         lats = np.array(lats) * 1e3
         if best is None or np.percentile(lats, 50) < np.percentile(best, 50):
-            best = lats
-    return tuple(float(np.percentile(best, q)) for q in (50, 95, 99))
+            best, best_ticks = lats, np.array(ticks) * 1e3
+    return tuple(float(np.percentile(best, q)) for q in (50, 95, 99)) + (
+        float(np.percentile(best_ticks, 50)),
+    )
 
 
 def measure_sustained_fleet(cfg, lut, scans, n_streams, n_ticks=60,
@@ -576,12 +590,16 @@ def main():
         out["latency_p95_ms_at_10hz"] = round(p95l, 2)
         out["latency_p99_ms_at_10hz"] = round(p99l, 2)
         for nf in (4, 12):
-            fp50l, fp95l, fp99l = measure_fleet_latency_at_cadence(
+            fp50l, fp95l, fp99l, ftick = measure_fleet_latency_at_cadence(
                 cfg, lut, stream_cycle, nf, rate_hz=10.0
             )
             out[f"fleet{nf}_latency_p50_ms"] = round(fp50l, 2)
             out[f"fleet{nf}_latency_p95_ms"] = round(fp95l, 2)
             out[f"fleet{nf}_latency_p99_ms"] = round(fp99l, 2)
+            out[f"fleet{nf}_tick_p50_ms"] = round(ftick, 2)
+            # tick > period means the cadence loop fell behind: the latency
+            # percentiles then measure queueing growth, not steady state
+            out[f"fleet{nf}_cadence_met"] = bool(ftick < 100.0)
 
     print(json.dumps(out))
 
