@@ -427,3 +427,42 @@ class TestAngularGateCalibratedLut:
             _row_from_elevation(gate, jnp.asarray(el_row, jnp.float32))
         )
         np.testing.assert_allclose(row_f, np.arange(self.H), atol=2e-3)
+
+    def test_gradient_lut_traces_in_sweep_step(self):
+        """The exact row-table inverse (rank + one-hot matmul) must trace
+        under jit inside the production sweep step, not just eagerly."""
+        import jax.numpy as jnp
+
+        from vofod_tpu.config import Box, DynParams, SensorConfig, VoFODConfig
+        from vofod_tpu.runtime.node import NodeOptions, VoFOD
+
+        H, W = 16, 64
+        u = np.linspace(-1.0, 1.0, H)
+        from vofod_tpu.sensor import make_lut_ouster
+
+        lut = make_lut_ouster(
+            W, H, np.zeros(H), -45.0 * np.sign(u) * np.abs(u) ** 1.3, 15.806
+        )
+        cfg = VoFODConfig(
+            sensor=SensorConfig(
+                vertical_rays=H, horizontal_rays=W,
+                vertical_fov=np.deg2rad(90.0),
+            ),
+            oparea=Box((0.0, 0.0, 5.75), (16.0, 16.0, 11.5)),
+            max_clusters=4, max_far_voxels=256, max_queries=32,
+            explore_submap=16, confidence_submap=8,
+        )
+        node = VoFOD(cfg, DynParams(), NodeOptions(raycast_mode="sweep"),
+                     lut=lut)
+        from vofod_tpu.ops.raycast import make_angular_gate
+
+        assert make_angular_gate(lut).el_rows is not None  # table path live
+        rng = np.random.default_rng(2)
+        pose = np.eye(4, dtype=np.float32)
+        pose[:3, 3] = (0.0, 0.0, 6.0)
+        for k in range(3):
+            r = rng.integers(0, 15000, H * W).astype(np.uint32)
+            node.process_scan(r, None, pose, stamp=0.1 * k)
+        assert np.isfinite(np.asarray(node.state.grid)).all() or np.isinf(
+            np.asarray(node.state.grid)
+        ).any()  # stepped without trace errors; grid is defined
