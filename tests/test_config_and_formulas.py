@@ -33,6 +33,33 @@ class TestConfig:
         assert dyn.raycast_new_update_rule is True
         assert cfg.sepclusters_max_bg_distance == 0.8
 
+    def test_sepclusters_period_to_schedule(self):
+        # the reference runs sepclusters on a wall-clock timer
+        # (separate_cluster_removal_period seconds, vofod_nodelet.cpp:1280-1294);
+        # the deterministic schedule converts it at the sensor cadence:
+        # every = max(1, round(period * scan_rate_hz))
+        cfg = VoFODConfig.from_dicts({"separate_cluster_removal_period": 0.1})
+        assert cfg.sepclusters_every == 1  # the shipped config at 10 Hz
+        cfg = VoFODConfig.from_dicts({"separate_cluster_removal_period": 0.5})
+        assert cfg.sepclusters_every == 5
+        cfg = VoFODConfig.from_dicts(
+            {"separate_cluster_removal_period": 0.5}, scan_rate_hz=20.0
+        )
+        assert cfg.sepclusters_every == 10
+        # a sub-period timer cannot run more than once per step
+        cfg = VoFODConfig.from_dicts({"separate_cluster_removal_period": 0.01})
+        assert cfg.sepclusters_every == 1
+        # an explicit sepclusters_every key (our format) wins over the period
+        cfg = VoFODConfig.from_dicts(
+            {"separate_cluster_removal_period": 0.5, "sepclusters_every": 3}
+        )
+        assert cfg.sepclusters_every == 3
+        # and a keyword override wins over both
+        cfg = VoFODConfig.from_dicts(
+            {"separate_cluster_removal_period": 0.5}, sepclusters_every=7
+        )
+        assert cfg.sepclusters_every == 7
+
     def test_background_min_sufficient(self):
         cfg = VoFODConfig()
         # ref :228-230: n_xy * ratio = (120/0.5)*(100/0.5)*0.15 = 7200

@@ -234,11 +234,21 @@ class VoFODConfig:
         detection: Mapping[str, Any],
         sensor: Mapping[str, Any] | None = None,
         apriori: Mapping[str, Any] | None = None,
+        scan_rate_hz: float = 10.0,
         **overrides: Any,
     ) -> "VoFODConfig":
         """Build a config from parsed YAML dicts shaped like the reference's
         config/detection_params.yaml, config/sensors/*.yaml and
-        config/apriori_maps/*.yaml."""
+        config/apriori_maps/*.yaml.
+
+        ``scan_rate_hz`` converts the reference's wall-clock
+        ``separate_cluster_removal_period`` (a 0.1 s timer thread,
+        ref vofod_nodelet.cpp:1280-1294 + config/detection_params.yaml:3)
+        into this framework's deterministic every-N-steps schedule:
+        ``sepclusters_every = max(1, round(period * scan_rate_hz))``.  The
+        default 10 Hz is the reference's sensor cadence (SURVEY §6); an
+        explicit ``sepclusters_every`` key or override wins.
+        """
         kw: dict[str, Any] = {}
         d = detection
         if "voxel_map" in d:
@@ -302,6 +312,9 @@ class VoFODConfig:
                 horizontal_rays=int(s.get("horizontal_rays", 1024)),
                 vertical_fov=_deg2rad(float(fov)),
             )
+        if "separate_cluster_removal_period" in d:
+            period = float(d["separate_cluster_removal_period"])
+            kw["sepclusters_every"] = max(1, int(round(period * scan_rate_hz)))
         if "sepclusters_every" in d:
             kw["sepclusters_every"] = int(d["sepclusters_every"])
         kw.update(overrides)
@@ -434,18 +447,11 @@ def _dyn_unflatten(_, children):
 jtu.register_pytree_node(DynParams, _dyn_flatten, _dyn_unflatten)
 
 
-def load_config(
-    detection_yaml: str | None = None,
-    sensor_yaml: str | None = None,
-    apriori_yaml: str | None = None,
-    **overrides: Any,
-) -> tuple[VoFODConfig, DynParams]:
-    """Load (static config, dynamic params) from reference-format YAML files.
-
-    Any file may be omitted, in which case reference-simulation defaults are
-    used.  This replaces the reference's mrs_lib::ParamLoader +
-    DynamicReconfigureMgr pair (vofod_nodelet.cpp:155-238).
-    """
+def read_reference_yaml(path: str | None):
+    """Parse a reference-format YAML file (supports the ``!degrees`` tag used
+    by config/sensors/*.yaml).  Returns None when path is None."""
+    if path is None:
+        return None
     import yaml
 
     def _degrees_ctor(loader, node):
@@ -455,16 +461,26 @@ def load_config(
         pass
 
     _Loader.add_constructor("!degrees", _degrees_ctor)
+    with open(path) as f:
+        return yaml.load(f, Loader=_Loader)
 
-    def _read(path):
-        if path is None:
-            return None
-        with open(path) as f:
-            return yaml.load(f, Loader=_Loader)
 
-    det = _read(detection_yaml) or {}
-    sen = _read(sensor_yaml)
-    apr = _read(apriori_yaml)
-    cfg = VoFODConfig.from_dicts(det, sen, apr, **overrides)
+def load_config(
+    detection_yaml: str | None = None,
+    sensor_yaml: str | None = None,
+    apriori_yaml: str | None = None,
+    scan_rate_hz: float = 10.0,
+    **overrides: Any,
+) -> tuple[VoFODConfig, DynParams]:
+    """Load (static config, dynamic params) from reference-format YAML files.
+
+    Any file may be omitted, in which case reference-simulation defaults are
+    used.  This replaces the reference's mrs_lib::ParamLoader +
+    DynamicReconfigureMgr pair (vofod_nodelet.cpp:155-238).
+    """
+    det = read_reference_yaml(detection_yaml) or {}
+    sen = read_reference_yaml(sensor_yaml)
+    apr = read_reference_yaml(apriori_yaml)
+    cfg = VoFODConfig.from_dicts(det, sen, apr, scan_rate_hz=scan_rate_hz, **overrides)
     dyn = DynParams.from_yaml_dict(det)
     return cfg, dyn
