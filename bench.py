@@ -325,13 +325,15 @@ def measure_sustained_fleet(cfg, lut, scans, n_streams, n_ticks=60,
     if with_intensity:
         # content-varying intensity images with a real sub-threshold
         # population (uniform [0, 2) vs min_intensity=0.5: ~25% of pixels
-        # gated per tick), so the gate actually gates
+        # gated per tick), so the gate actually gates.  Kept as HOST arrays
+        # and converted inside tick_scan: the point of this mode is that the
+        # extra 524 KB/stream/tick ride the timed transport — pre-staging
+        # them device-resident would substitute the upload away and
+        # overstate the measured rate.
         rng = np.random.default_rng(11)
         intens = [
-            jnp.asarray(
-                rng.uniform(0.0, 2.0, (n_streams, cfg.sensor.n_points))
-                .astype(np.float32)
-            )
+            rng.uniform(0.0, 2.0, (n_streams, cfg.sensor.n_points))
+            .astype(np.float32)
             for _ in range(len(scans))
         ]
         dyn = DynParams(raycast_min_intensity=0.5).as_arrays()
@@ -348,7 +350,9 @@ def measure_sustained_fleet(cfg, lut, scans, n_streams, n_ticks=60,
         )
         return ScanInput(
             ranges_mm=jnp.asarray(rs),
-            intensity=intens[k % len(intens)] if intens else ones,
+            intensity=(
+                jnp.asarray(intens[k % len(intens)]) if intens else ones
+            ),
             pose=jnp.asarray(ps),
         )
 
@@ -588,8 +592,9 @@ def main():
         # vofod_nodelet.cpp:1094-1095).  Scan-arrival -> detection-out
         # percentiles at 10 Hz, single stream raw ingest and the fleet at
         # N=4 and the measured N=12 knee (DESIGN §7).
+        cadence_hz = 10.0
         p50l, p95l, p99l = measure_latency_at_cadence(
-            cfg, lut, stream_cycle, rate_hz=10.0
+            cfg, lut, stream_cycle, rate_hz=cadence_hz
         )
         out["latency_p50_ms_at_10hz"] = round(p50l, 2)
         out["latency_p95_ms_at_10hz"] = round(p95l, 2)
@@ -597,7 +602,7 @@ def main():
         for nf in (4, 12):
             fp50l, fp95l, fp99l, ftick, ftick95 = (
                 measure_fleet_latency_at_cadence(
-                    cfg, lut, stream_cycle, nf, rate_hz=10.0
+                    cfg, lut, stream_cycle, nf, rate_hz=cadence_hz
                 )
             )
             out[f"fleet{nf}_latency_p50_ms"] = round(fp50l, 2)
@@ -609,7 +614,7 @@ def main():
             out[f"fleet{nf}_tick_p95_ms"] = round(ftick95, 2)
             # tick > period means the cadence loop fell behind: the latency
             # percentiles then measure queueing growth, not steady state
-            out[f"fleet{nf}_cadence_met"] = bool(ftick < 100.0)
+            out[f"fleet{nf}_cadence_met"] = bool(ftick < 1e3 / cadence_hz)
 
     print(json.dumps(out))
 

@@ -32,6 +32,10 @@ class TestConfig:
         assert dyn.thr_frontiers == -750.0
         assert dyn.raycast_new_update_rule is True
         assert cfg.sepclusters_max_bg_distance == 0.8
+        # host-side params ride the same parse (detect.py consumes these)
+        assert cfg.throttle_period == 1.0
+        assert cfg.sepclusters_every == 1  # 0.1 s at 10 Hz
+        assert VoFODConfig.from_dicts({"throttle_period": 2.5}).throttle_period == 2.5
 
     def test_sepclusters_period_to_schedule(self):
         # the reference runs sepclusters on a wall-clock timer

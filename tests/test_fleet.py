@@ -130,6 +130,14 @@ def test_reset_stream_cold_starts_one_detector():
     step = np.asarray(jax.device_get(fleet.state.step))
     assert step[3] == 1 and step[0] == n_warm + 1
 
+    # intensity-less ticks reuse ONE cached device all-ones buffer (the
+    # step never donates scan args; rebuilding per tick would re-upload
+    # 524 KB x B every scan — same contract as runtime/node.py _ones_dev)
+    assert fleet._ones_dev is not None
+    cached = fleet._ones_dev
+    fleet.process_scans(np.tile(scan, (B, 1)), poses)
+    assert fleet._ones_dev is cached
+
 
 def test_voxel_grid_counted_matches_oracle(rng):
     pts = rng.uniform(0, 8, size=(300, 3)).astype(np.float32)

@@ -141,6 +141,57 @@ class TestDeviceTrace:
         planes = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
         assert planes, f"no trace written under {tdir}"
 
+    def test_short_run_flushes_trace(self, tmp_path):
+        """A run that ends before trace_skip+trace_scans scans must still
+        write the capture: close_trace() flushes the open window (called by
+        replay() and an atexit hook) instead of leaving the profiler running
+        and the trace lost."""
+        tdir = str(tmp_path / "short")
+        node = VoFOD(
+            micro_config(), DynParams(),
+            NodeOptions(
+                raycast_mode="exact",
+                trace_dir=tdir, trace_skip=1, trace_scans=50,
+            ),
+        )
+        pose = hover_pose((8.0, 8.0, 9.0))
+        ranges = render_scan(Scene(ground_z=6.0), node.lut, pose)
+        for k in range(3):  # opens the window, never reaches scan 51
+            node.process_scan(ranges, None, pose, stamp=0.1 * k)
+        assert node._trace_state == "on"
+        node.close_trace()
+        assert node._trace_state == "done"
+        node.close_trace()  # idempotent
+        import glob
+
+        planes = glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
+        assert planes, f"no trace written under {tdir}"
+
+    def test_replay_flushes_trace(self, tmp_path):
+        """replay() of a recording shorter than the trace window closes the
+        window on the way out."""
+        import numpy as np
+
+        from vofod_tpu.io.scan_source import save_scans_npz
+
+        tdir = str(tmp_path / "replay")
+        node = VoFOD(
+            micro_config(), DynParams(),
+            NodeOptions(
+                raycast_mode="exact",
+                trace_dir=tdir, trace_skip=1, trace_scans=50,
+            ),
+        )
+        pose = hover_pose((8.0, 8.0, 9.0))
+        ranges = render_scan(Scene(ground_z=6.0), node.lut, pose)
+        p = str(tmp_path / "scans.npz")
+        save_scans_npz(p, np.stack([ranges] * 3), np.stack([pose] * 3))
+        node.replay(p)
+        assert node._trace_state == "done"
+        import glob
+
+        assert glob.glob(f"{tdir}/**/*.xplane.pb", recursive=True)
+
     def test_no_trace_without_option(self, tmp_path):
         node = VoFOD(micro_config(), DynParams(),
                      NodeOptions(raycast_mode="exact"))

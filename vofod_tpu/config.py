@@ -100,6 +100,11 @@ class VoFODConfig:
     apriori_tf: tuple[float, float, float] = (0.0, 0.0, 0.0)
     apriori_sim_correction: tuple[float, float, float] = (0.0, 0.0, 0.0)
 
+    # host-side log throttling (ref NODELET_*_THROTTLE period,
+    # config/detection_params.yaml:1); consumed by NodeOptions, carried here
+    # so every entry point reads it from the one YAML parse
+    throttle_period: float = 1.0
+
     ground_points_max_distance: float = 1.5
     background_sufficient_points_ratio: float = 0.15
     # geometry-affecting: shapes the sepclusters adjacency/demotion stencils
@@ -253,7 +258,11 @@ class VoFODConfig:
         d = detection
         if "voxel_map" in d:
             kw["voxel_size"] = float(d["voxel_map"].get("voxel_size", 0.5))
-        for key in ("ground_points_max_distance", "background_sufficient_points_ratio"):
+        for key in (
+            "ground_points_max_distance",
+            "background_sufficient_points_ratio",
+            "throttle_period",
+        ):
             if key in d:
                 kw[key] = float(d[key])
         if "sepclusters" in d and "max_bg_distance" in d["sepclusters"]:

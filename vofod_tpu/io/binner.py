@@ -303,13 +303,25 @@ def probe_ingest_mode(
         b = hb.bin(r, pose)
         t_bin = min(t_bin, (time.perf_counter() - t0) * 1e3)
 
+        # each side pays its FULL per-scan transfer set, message legs
+        # included: on a per-message-floor transport the extra legs are
+        # exactly what tips the comparison.  raw ships ranges + pose
+        # (intensity rides a cached device buffer, runtime/node.py);
+        # prebinned ships every BinnedScan.to_device transfer — packed grid
+        # + per-pixel active mask (131 KB) + pose + the int32 stats pair.
         raw = r.astype(np.float32)
         t0 = time.perf_counter()
-        float(jnp.sum(jnp.asarray(raw)))
+        float(jnp.sum(jnp.asarray(raw)) + jnp.sum(jnp.asarray(b.pose)))
         t_raw = min(t_raw, (time.perf_counter() - t0) * 1e3)
 
+        stats = np.array([b.n_valid_points, b.n_exclude_hits], np.int32)
         t0 = time.perf_counter()
-        float(jnp.sum(jnp.asarray(b.packed).astype(jnp.int32)))
+        float(
+            jnp.sum(jnp.asarray(b.packed).astype(jnp.int32))
+            + jnp.sum(jnp.asarray(b.active).astype(jnp.int32))
+            + jnp.sum(jnp.asarray(b.pose))
+            + jnp.sum(jnp.asarray(stats))
+        )
         t_pre = min(t_pre, (time.perf_counter() - t0) * 1e3)
 
     mode = choose_ingest(t_raw, t_pre, t_bin)

@@ -182,6 +182,10 @@ class FleetVoFOD:
         # exact message: NODELET_ERROR_THROTTLE(1.0), vofod_nodelet.cpp:919)
         self._last_pose_warn = 0.0
         self.pose_warn_period = 1.0
+        # cached all-ones intensity buffers (see process_scans /
+        # process_local_scans)
+        self._ones_dev = None
+        self._ones_dist = None
 
     def _sanitize_rows(
         self, r: np.ndarray, p: np.ndarray, global_ids
@@ -266,16 +270,25 @@ class FleetVoFOD:
             )
 
         r = np.asarray(ranges_mm, np.float32).reshape(Bl, n_pts)
-        i = (
-            np.ones((Bl, n_pts), np.float32)
-            if intensity is None
-            else np.asarray(intensity, np.float32).reshape(Bl, n_pts)
-        )
         p = np.asarray(poses, np.float32).reshape(Bl, 4, 4)
         r, p = self._sanitize_rows(r, p, local)
+        if intensity is None:
+            # cached device-resident all-ones (the step never donates scan
+            # args — same reuse contract as runtime/node.py _ones_dev);
+            # rebuilding per tick would redistribute 524 KB x Bl every scan
+            if self._ones_dist is None:
+                self._ones_dist = dist(
+                    np.ones((Bl, n_pts), np.float32), (B, n_pts)
+                )
+            inten = self._ones_dist
+        else:
+            inten = dist(
+                np.asarray(intensity, np.float32).reshape(Bl, n_pts),
+                (B, n_pts),
+            )
         scans = ScanInput(
             ranges_mm=dist(r, (B, n_pts)),
-            intensity=dist(i, (B, n_pts)),
+            intensity=inten,
             pose=dist(p, (B, 4, 4)),
         )
         self.state, out = self._step(self.state, scans, self.dyn.as_arrays())
@@ -306,15 +319,20 @@ class FleetVoFOD:
         r = np.asarray(ranges_mm, np.float32).reshape(B, -1)
         p = np.asarray(poses, np.float32).reshape(B, 4, 4)
         r, p = self._sanitize_rows(r, p, range(B))
-        i = (
-            jnp.ones((B, self.cfg.sensor.n_points), jnp.float32)
-            if intensity is None
-            else jnp.asarray(
+        if intensity is None:
+            # cached all-ones device buffer (reuse is safe: the step never
+            # donates scan args — same contract as runtime/node.py _ones_dev)
+            if self._ones_dev is None:
+                self._ones_dev = jnp.ones(
+                    (B, self.cfg.sensor.n_points), jnp.float32
+                )
+            i = self._ones_dev
+        else:
+            i = jnp.asarray(
                 np.asarray(intensity, np.float32).reshape(
                     B, self.cfg.sensor.n_points
                 )
             )
-        )
         scans = ScanInput(
             ranges_mm=jnp.asarray(r),
             intensity=i,

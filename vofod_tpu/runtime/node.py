@@ -131,6 +131,16 @@ class VoFOD:
         self._last_pose_warn = 0.0  # throttle clock for pose-rejection warnings
         # device-trace window state: "pending" -> "on" -> "done"
         self._trace_state = "pending" if self.options.trace_dir else "done"
+        if self.options.trace_dir:
+            # close-out: a run shorter than trace_skip+trace_scans (short
+            # recording, pose outage) would otherwise leave the profiler
+            # running and the capture unwritten.  weakref so the hook never
+            # extends the node's lifetime.
+            import atexit
+            import weakref
+
+            ref = weakref.ref(self)
+            atexit.register(lambda: ref() is not None and ref().close_trace())
 
     # ------------------------------------------------------------------ scans
     def process_scan(
@@ -529,6 +539,29 @@ class VoFOD:
         ).astype(np.float32)
 
     # ------------------------------------------------------------------ replay
+    def close_trace(self):
+        """Flush an open device-trace window (``options.trace_dir`` mode).
+
+        ``process_scan`` closes the window itself once ``trace_scans`` scans
+        have run; this close-out covers runs that end earlier (short
+        recordings, a pose outage after the window opened) so the capture is
+        written rather than lost.  Idempotent; called from ``replay`` and an
+        atexit hook."""
+        if self._trace_state != "on":
+            return
+        try:
+            jax.block_until_ready(self.state)
+            jax.profiler.stop_trace()
+            self._log.info(
+                "device trace flushed early at scan %d (trace_scans=%d) "
+                "to %s",
+                self._host_step,
+                self.options.trace_scans,
+                self.options.trace_dir,
+            )
+        finally:
+            self._trace_state = "done"
+
     def replay(
         self, npz_path: str, intensity=None, before_scan=None
     ) -> list[Detections]:
@@ -543,16 +576,20 @@ class VoFOD:
         if intensity is not None:  # explicit arg overrides the recording
             inten = None
         out = []
-        for k, (r, p, t) in enumerate(zip(ranges, poses, stamps)):
-            if before_scan is not None:
-                # per-scan hook: live param polling (runtime/param_watch.py —
-                # the reference reads dynamic_reconfigure values every scan,
-                # vofod_nodelet.cpp m_drmgr_ptr->config.*), progress, etc.
-                before_scan(k)
-            i = intensity if intensity is not None else (
-                inten[k] if inten is not None else None
-            )
-            out.append(self.process_scan(r, i, p, float(t)))
+        try:
+            for k, (r, p, t) in enumerate(zip(ranges, poses, stamps)):
+                if before_scan is not None:
+                    # per-scan hook: live param polling (runtime/param_watch.py
+                    # — the reference reads dynamic_reconfigure values every
+                    # scan, vofod_nodelet.cpp m_drmgr_ptr->config.*), etc.
+                    before_scan(k)
+                i = intensity if intensity is not None else (
+                    inten[k] if inten is not None else None
+                )
+                out.append(self.process_scan(r, i, p, float(t)))
+        finally:
+            # a recording shorter than the trace window must still flush it
+            self.close_trace()
         return out
 
     # ----------------------------------------------------------- checkpointing

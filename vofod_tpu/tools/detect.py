@@ -81,24 +81,15 @@ def main(argv=None):
     )
     args = ap.parse_args(argv)
 
-    from vofod_tpu.config import (
-        DynParams,
-        VoFODConfig,
-        load_config,
-        read_reference_yaml,
-    )
+    from vofod_tpu.config import DynParams, VoFODConfig, load_config
     from vofod_tpu.runtime.node import NodeOptions, VoFOD
 
-    throttle_period = 1.0  # ref config/detection_params.yaml:1
     if args.config or args.sensor or args.map_yaml:
         # every file is optional in load_config — honor --sensor/--map even
         # without a detection_params.yaml
         cfg, dyn = load_config(
             args.config or None, args.sensor or None, args.map_yaml or None
         )
-        if args.config:
-            det = read_reference_yaml(args.config) or {}
-            throttle_period = float(det.get("throttle_period", 1.0))
     else:
         cfg, dyn = VoFODConfig(), DynParams()
     if args.small_capacities:
@@ -121,7 +112,7 @@ def main(argv=None):
             mask_path=args.mask,
             mask_mangle=args.mask_mangle,
             frontend_mode=args.frontend,
-            throttle_period=throttle_period,
+            throttle_period=cfg.throttle_period,
         ),
     )
     if args.load_state:

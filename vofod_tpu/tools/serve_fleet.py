@@ -134,7 +134,17 @@ def main(argv=None):
         from vofod_tpu.runtime.fleet import pick_stream_knee, probe_transport_rtt
 
         rtt = probe_transport_rtt()
-        n_streams, transport = pick_stream_knee(rtt, len(jax.local_devices()))
+        if jax.process_count() > 1:
+            # n_streams is the GLOBAL total and must be identical on every
+            # host or the mesh shapes diverge and the first collective
+            # deadlocks (module docstring); hosts can probe different rtts
+            # near the policy threshold, so host 0's probe is authoritative
+            from jax.experimental import multihost_utils
+
+            rtt = float(
+                multihost_utils.broadcast_one_to_all(np.float32(rtt))
+            )
+        n_streams, transport = pick_stream_knee(rtt, jax.device_count())
         print(
             f"# --streams auto: probed rtt {rtt:.1f} ms ({transport}) "
             f"-> {n_streams} streams",
